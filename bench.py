@@ -1,0 +1,89 @@
+"""Benchmark: tracer-DOF/s per chip for the flagship ISL transport step.
+
+Config: ne=30 cubed sphere (5400 cells), np=4 (16 DOF/cell), 40 tracers,
+pisl method with CAAS property preservation + CAAS cell-local limiter - the
+BASELINE.json headline configuration. Prints ONE JSON line.
+
+Runs on whatever JAX platform the environment provides (the driver points
+JAX_PLATFORMS at the real TPU chip). Falls back to float32 if the f64 path
+fails to compile on the hardware.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+    from compose_tpu import driver
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.transport import IslConfig, IslTransport, gallery
+
+    ne, np_, nt = 30, 4, 40
+    nsteps_timed = 10
+    mesh = cubed_sphere.build(ne, np_)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=np_, filter="caas", limiter="caas",
+                    rho_isl=True, nsub=8)
+    model = IslTransport(mesh, wind, cfg)
+
+    dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    rho = jnp.ones((mesh.ncell, mesh.np2), dtype)
+    ics = ["gaussianhills", "slottedcylinders", "cosinebells", "xyztrig"]
+    q1 = driver.init_tracers(mesh, ics).astype(dtype)
+    reps = (nt + q1.shape[0] - 1) // q1.shape[0]
+    q = jnp.tile(q1, (reps, 1, 1))[:nt]
+
+    T = 86400.0 * 12
+    dt = T / 120
+
+    # Warmup/compile.
+    rho1, qv = model.step(rho, q, 0.0, dt)
+    qv.block_until_ready()
+
+    t0 = time.time()
+    r, qq = rho, q
+    for i in range(nsteps_timed):
+        r, qq = model.step(r, qq, i * dt, (i + 1) * dt)
+    qq.block_until_ready()
+    el = time.time() - t0
+
+    dof_per_step = mesh.ncell * mesh.np2 * nt
+    dof_s = dof_per_step * nsteps_timed / el
+    return {
+        "metric": "tracer-DOF/s per chip (ne30, np4, 40 tracers, pisl+caas)",
+        "value": dof_s,
+        "unit": "DOF/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "platform": jax.devices()[0].platform,
+            "x64": bool(jax.config.read("jax_enable_x64")),
+            "sec_per_step": el / nsteps_timed,
+            "ncell": mesh.ncell, "np2": mesh.np2, "ntracer": nt,
+        },
+    }
+
+
+def main():
+    try:
+        out = run_bench()
+    except Exception as e:  # noqa: BLE001 - fall back to f32 once
+        if os.environ.get("COMPOSE_TPU_X64") == "0":
+            print(json.dumps({"metric": "tracer-DOF/s per chip",
+                              "value": 0.0, "unit": "DOF/s",
+                              "vs_baseline": 0.0,
+                              "error": repr(e)[:400]}))
+            return 1
+        env = dict(os.environ, COMPOSE_TPU_X64="0")
+        sys.stderr.write(f"bench: f64 path failed ({e!r}); retrying f32\n")
+        return subprocess.call([sys.executable, __file__], env=env)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,262 @@
+"""Nodal bases on [-1, 1]: GLL and the stabilized Islet bases.
+
+Counterparts of /root/reference/methods/slmm/slmm_gll.hpp (GLL tables +
+Lagrange eval), slmm_basis.hpp (Basis interface) and slmm_islet.{hpp,cpp}
+(stabilized interpolation bases). Differences from the reference, by design:
+
+  - GLL nodes/weights are computed at import time by a Newton solve on the
+    Legendre derivative (instead of hard-coded tables); they agree with the
+    reference tables to machine precision.
+  - Evaluation is vectorized over query points and returns (..., np) arrays;
+    region-wise Islet evaluation uses branch-free masked selection so it jits
+    cleanly for TPU.
+
+The Islet modified quadrature weights ARE copied as numeric data - they are
+offline-derived constants (see slmm_islet.hpp:55-95; SURVEY.md notes they are
+data, produced by the methods/islet search tools).
+"""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------------
+# GLL nodes and weights (computed, not copied).
+
+@functools.lru_cache(maxsize=None)
+def gll_nodes_weights(np_: int):
+    """Gauss-Lobatto-Legendre nodes and weights on [-1, 1] as numpy arrays.
+
+    Nodes are the roots of (1 - x^2) P'_{np-1}(x); weights are
+    2 / (np (np-1) P_{np-1}(x)^2). Matches slmm_gll.hpp tables to ~1 ulp.
+    """
+    n = np_
+    if n < 2:
+        raise ValueError("np must be >= 2")
+    # Chebyshev-Lobatto initial guess, then Newton on P'_{n-1}.
+    x = -np.cos(np.pi * np.arange(n) / (n - 1))
+    leg = np.polynomial.legendre
+    cPn = np.zeros(n)
+    cPn[-1] = 1.0  # coefficients of P_{n-1}
+    dPn = leg.legder(cPn)
+    d2Pn = leg.legder(dPn)
+    if n > 2:
+        for _ in range(100):
+            xi = x[1:-1]
+            f = leg.legval(xi, dPn)
+            fp = leg.legval(xi, d2Pn)
+            dx = f / fp
+            x[1:-1] = xi - dx
+            if np.max(np.abs(dx)) < 1e-16:
+                break
+    Pn = leg.legval(x, cPn)
+    w = 2.0 / (n * (n - 1) * Pn * Pn)
+    # Enforce exact symmetry.
+    x = 0.5 * (x - x[::-1])
+    w = 0.5 * (w + w[::-1])
+    return x, w
+
+
+def lagrange_eval_np(xnodes, x):
+    """Numpy Lagrange basis eval: xnodes (m,), x (...,) -> (..., m)."""
+    xn = np.asarray(xnodes)
+    m = xn.shape[0]
+    x = np.asarray(x)[..., None]
+    diff_x = x - xn  # (..., m)
+    denom = xn[:, None] - xn[None, :]
+    np.fill_diagonal(denom, 1.0)
+    v = np.ones(x.shape[:-1] + (m,))
+    for i in range(m):
+        num = np.prod(np.delete(diff_x, i, axis=-1), axis=-1)
+        den = np.prod(np.delete(xn[i] - xn, i))
+        v[..., i] = num / den
+    return v
+
+
+def _lagrange_eval(xnodes, x):
+    """JAX Lagrange basis eval, exact at nodes: x (...,) -> (..., m)."""
+    xn = jnp.asarray(xnodes)
+    m = xn.shape[0]
+    d = x[..., None] - xn  # (..., m)
+    v = []
+    for i in range(m):
+        num = jnp.prod(jnp.concatenate(
+            [d[..., :i], d[..., i + 1:]], axis=-1), axis=-1)
+        den = jnp.prod(jnp.asarray(
+            [xn[i] - xn[j] for j in range(m) if j != i]))
+        v.append(num / den)
+    return jnp.stack(v, axis=-1)
+
+
+def _lagrange_eval_derivative(xnodes, x):
+    """Derivative of the Lagrange basis: (...,) -> (..., m)."""
+    xn = jnp.asarray(xnodes)
+    m = xn.shape[0]
+    d = x[..., None] - xn
+    out = []
+    for i in range(m):
+        den = jnp.prod(jnp.asarray(
+            [xn[i] - xn[j] for j in range(m) if j != i]))
+        acc = 0.0
+        for k in range(m):
+            if k == i:
+                continue
+            idx = [j for j in range(m) if j != i and j != k]
+            if idx:
+                term = jnp.prod(
+                    jnp.stack([d[..., j] for j in idx], axis=-1), axis=-1)
+            else:
+                term = jnp.ones_like(x)
+            acc = acc + term
+        out.append(acc / den)
+    return jnp.stack(out, axis=-1)
+
+
+class GLL:
+    """Standard GLL nodal basis (slmm_gll.hpp)."""
+
+    name = "Gll"
+
+    def __init__(self, np_: int):
+        self.np = np_
+        x, w = gll_nodes_weights(np_)
+        self.x = jnp.asarray(x)
+        self.w = jnp.asarray(w)
+
+    def eval(self, x):
+        """x (...,) -> basis values (..., np)."""
+        return _lagrange_eval(self.x, x)
+
+    def eval_deriv(self, x):
+        return _lagrange_eval_derivative(self.x, x)
+
+
+# ----------------------------------------------------------------------------
+# Islet bases.
+
+# Modified quadrature weights for islet::GllNodal (data; slmm_islet.hpp:77-90).
+_GLL_NODAL_W = {
+    2: [1.0, 1.0],
+    3: [1.0 / 3.0, 4.0 / 3.0, 1.0 / 3.0],
+    4: [1.6666666666666666e-01, 8.3333333333333337e-01,
+        8.3333333333333337e-01, 1.6666666666666666e-01],
+    5: [7.2438673929622860e-02, 6.0875420527532442e-01,
+        6.3761424159010549e-01, 6.0875420527532442e-01,
+        7.2438673929622860e-02],
+    6: [6.6666666666666624e-02, 3.7847495629784705e-01,
+        5.5485837703548646e-01, 5.5485837703548646e-01,
+        3.7847495629784705e-01, 6.6666666666666624e-02],
+    7: [5.6454983633034334e-02, 2.5552182504453469e-01,
+        4.5835116513528573e-01, 4.5934405237429038e-01,
+        4.5835116513528573e-01, 2.5552182504453469e-01,
+        5.6454983633034334e-02],
+    8: [4.3144193831569533e-02, 1.9497214769017937e-01,
+        3.5470956393990549e-01, 4.0717409453834563e-01,
+        4.0717409453834563e-01, 3.5470956393990549e-01,
+        1.9497214769017937e-01, 4.3144193831569533e-02],
+    9: [3.6046050775536347e-02, 1.4531360464413259e-01,
+        3.0053239765036854e-01, 3.1722918197442412e-01,
+        4.0175752991107733e-01, 3.1722918197442412e-01,
+        3.0053239765036854e-01, 1.4531360464413259e-01,
+        3.6046050775536347e-02],
+}
+
+# Region-wise subsets for islet::GllNodal (slmm_islet.cpp:99-204). For np in
+# this table: per half-region i (region [x_i, x_{i+1}], x <= 0), the list of
+# node indices whose sub-Lagrange polynomial is used. np=4 is special-cased
+# (np4_subgrid_eval blend). Entries of the form (offset, subnp) come from
+# GllOffsetNodal; explicit lists from GllNodal.
+_GLL_NODAL_SUBSETS = {
+    2: [list(range(2))],
+    3: [list(range(3))],
+    5: [[0, 1, 2], [1, 2, 3]],   # GllOffsetNodal np5: subnp {3,4}? see below
+    6: [[0, 1, 2, 3, 4], [0, 1, 2, 3, 5], [0, 1, 2, 3, 4, 5]],
+    9: [[0, 1, 2, 3, 4, 5, 8], [0, 1, 2, 3, 4, 5, 7, 8],
+        [0, 1, 2, 3, 4, 5, 6, 8], [1, 2, 3, 4, 5, 6, 7]],
+}
+# GllOffsetNodal np5 row (slmm_islet.cpp:106): subnp {3,4}, offsets {0,0}.
+_GLL_NODAL_SUBSETS[5] = [[0, 1, 2], [0, 1, 2, 3]]
+
+
+def _np4_subgrid_eval(xn, x):
+    """Stabilized np=4 eval (slmm_islet.cpp:80-96): blend the full cubic with
+    the one-sided quadratic in the outer regions."""
+    c1 = 0.306
+    y4 = _lagrange_eval(xn, x)
+    # Outer-left quadratic over nodes 0..2, outer-right over 1..3.
+    yl3 = _lagrange_eval(xn[0:3], x)
+    yr3 = _lagrange_eval(xn[1:4], x)
+    zero = jnp.zeros_like(x)
+    yl = jnp.stack([yl3[..., 0], yl3[..., 1], yl3[..., 2], zero], axis=-1)
+    yr = jnp.stack([zero, yr3[..., 0], yr3[..., 1], yr3[..., 2]], axis=-1)
+    left = x < xn[1]
+    right = x > xn[2]
+    ysub = jnp.where(left[..., None], yl, yr)
+    x0 = 2 * (1 - jnp.abs(x)) / (1 - xn[2]) - 1
+    alpha = (c1 + (0.5 - c1) * x0) * (x0 + 1)
+    yblend = alpha[..., None] * ysub + (1 - alpha[..., None]) * y4
+    return jnp.where((left | right)[..., None], yblend, y4)
+
+
+class IsletGllNodal(GLL):
+    """islet::GllNodal - GLL nodes, modified weights, stabilized region-wise
+    evaluation (slmm_islet.cpp). The default `-basis` in slmmir."""
+
+    name = "GllNodal"
+
+    def __init__(self, np_: int):
+        super().__init__(np_)
+        if np_ in _GLL_NODAL_W:
+            self.w = jnp.asarray(np.array(_GLL_NODAL_W[np_]))
+        elif np_ > 9:
+            raise NotImplementedError(
+                f"islet GllNodal np={np_} weights not yet tabulated")
+
+    def eval(self, x):
+        n = self.np
+        xn = self.x
+        if n <= 3:
+            return _lagrange_eval(xn, x)
+        if n == 4:
+            return _np4_subgrid_eval(xn, x)
+        subsets = _GLL_NODAL_SUBSETS.get(n)
+        if subsets is None:
+            raise NotImplementedError(f"islet GllNodal np={n} eval")
+        # Evaluate on the mirrored coordinate xm = -|x| (regions are defined
+        # on the left half; symmetry maps the right half; slmm_islet.cpp:
+        # islet::eval).
+        xm = -jnp.abs(x)
+        nreg = len(subsets)
+        vals = []
+        for nodes in subsets:
+            sub_x = xn[jnp.asarray(nodes)]
+            sub_v = _lagrange_eval(sub_x, xm)  # (..., len(nodes))
+            full = jnp.zeros(x.shape + (n,), x.dtype)
+            for j, node in enumerate(nodes):
+                full = full.at[..., node].set(sub_v[..., j])
+            vals.append(full)
+        vals = jnp.stack(vals, axis=-2)  # (..., nreg, np)
+        # Region of xm: smallest i with xm <= xn[i+1] (i in [0, nreg-1]).
+        r = jnp.searchsorted(xn[1:nreg], xm, side='left')
+        v = jnp.take_along_axis(
+            vals, r[..., None, None], axis=-2)[..., 0, :]
+        # Mirror for x > 0.
+        return jnp.where((x > 0)[..., None], v[..., ::-1], v)
+
+
+_BASIS_REGISTRY = {
+    "gll": GLL,
+    "Gll": GLL,
+    "gllnodal": IsletGllNodal,
+    "GllNodal": IsletGllNodal,
+}
+
+
+def create(name: str, np_: int):
+    """Basis factory (slmm_basis.cpp: Basis::create)."""
+    key = name if name in _BASIS_REGISTRY else name.lower()
+    if key not in _BASIS_REGISTRY:
+        raise ValueError(f"unknown basis '{name}'")
+    return _BASIS_REGISTRY[key](np_)

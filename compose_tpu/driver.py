@@ -1,0 +1,184 @@
+"""End-to-end transport runs: the slmmir-equivalent driver.
+
+Counterpart of /root/reference/methods/slmm/slmmir.cpp: set up mesh + wind +
+ICs, run the time loop, accumulate Observer metrics, and report final error
+norms / conservation / extrema exactly as the reference's `print_error` and
+`<OL>` one-liner do (slmmir.cpp:355-440), so the reference's golden
+thresholds (methods/slmm/slmm_runtests.py) apply directly.
+"""
+
+import dataclasses
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import basis as basis_mod
+from .mesh import cubed_sphere
+from .ops import sphere
+from .ops.reduce import bfb_sum
+from .transport import dss, gallery
+from .transport.isl import IslConfig, IslTransport
+from . import constants
+
+
+@dataclasses.dataclass
+class RunOutput:
+    """Final metrics, named as in the reference Output struct
+    (slmmir.cpp:346-353)."""
+    l2_err: float
+    max_err: float
+    l1_err: float
+    mass_s: float
+    mass_e: float
+    mass_gll_s: float
+    mass_gll_e: float
+    min_s: float
+    max_s: float
+    min_e: float
+    max_e: float
+    et_timestep: float
+    # Per-step internal checks (Observer::check, slmmir.cpp:921-958).
+    max_step_mass_err: float
+    max_step_bounds_err: float
+
+    @property
+    def cv(self):
+        return _reldif(self.mass_s, self.mass_e)
+
+    @property
+    def cv_gll(self):
+        return _reldif(self.mass_gll_s, self.mass_gll_e)
+
+    def one_liner(self, **kv):
+        parts = [f"<OL>"]
+        for k, v in kv.items():
+            parts.append(f"{k} {v}")
+        parts += [
+            f"re l2 {self.l2_err:9.3e} max {self.max_err:9.3e}",
+            f"cv re {self.cv:9.3e}", f"cvgll re {self.cv_gll:9.3e}",
+            f"mo min {self.min_s:9.3e} {self.min_e:9.3e} "
+            f"{self.min_e - self.min_s:9.3e} "
+            f"max {self.max_s:9.3e} {self.max_e:9.3e} "
+            f"{self.max_e - self.max_s:9.3e}",
+            f"et ts {self.et_timestep:9.3e}",
+        ]
+        return " ".join(parts)
+
+
+def _reldif(a, b):
+    return abs(b - a) / max(1.0, abs(a))
+
+
+def init_tracers(mesh, ic_names):
+    """Evaluate ICs at the CGLL nodes and inject to DGLL (slmmir.cpp:
+    1121-1159)."""
+    lat, lon = sphere.xyz2ll(mesh.cgll_xyz)
+    qs = []
+    for name in ic_names:
+        u = gallery.initial_condition(name, lat, lon)
+        qs.append(u[mesh.dgll2cgll.reshape(-1)].reshape(
+            mesh.ncell, mesh.np2))
+    return jnp.stack(qs)
+
+
+def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
+        ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
+        basis="GllNodal", nsub=8, verbose=True):
+    """One slmmir-style run; returns RunOutput.
+
+    Defaults mirror the reference regression rows
+    (slmm_runtests.py:113-128): 12 steps of the 12-day deformational flow.
+    """
+    mesh = cubed_sphere.build(ne, np_, basis)
+    wind = gallery.create_wind(ode)
+    cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
+                    limiter=limiter, rho_isl=(method == "pisl"), nsub=nsub)
+    model = IslTransport(mesh, wind, cfg)
+
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = init_tracers(mesh, ics)
+    q0, rho0 = q, rho
+
+    T = constants.day2sec(T_days)
+    dt = T / nsteps
+
+    F_gll = mesh.dgbfi_gll.reshape(-1)
+    F_sph = mesh.dgbfi_sphere.reshape(-1)
+
+    max_step_mass_err = 0.0
+    max_step_bounds_err = 0.0
+    mass_prev = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
+    q_min0 = float(jnp.min(q[0]))
+    q_max0 = float(jnp.max(q[0]))
+
+    t_start = time.time()
+    for step in range(nsteps):
+        ts = dt * step
+        tf = T if step == nsteps - 1 else ts + dt
+        rho, q = model.step(rho, q, ts, tf)
+        # Observer-style per-step checks on tracer 0 (slmmir.cpp:921-958).
+        mass = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
+        max_step_mass_err = max(max_step_mass_err,
+                                abs(mass - mass_prev) / max(1.0, abs(mass)))
+        mass_prev = mass
+        bl = max(0.0, q_min0 - float(jnp.min(q[0])))
+        bh = max(0.0, float(jnp.max(q[0])) - q_max0)
+        max_step_bounds_err = max(max_step_bounds_err, bl, bh)
+    jnp.asarray(rho).block_until_ready()
+    et = (time.time() - t_start) / nsteps
+
+    # --- Final error norms (print_error, slmmir.cpp:355-412), tracer 0.
+    fs = np.asarray(q0[0]).reshape(-1)
+    ds = np.asarray(rho0).reshape(-1)
+    fe = np.asarray(q[0]).reshape(-1)
+    de = np.asarray(rho).reshape(-1)
+    w = np.asarray(F_sph)
+    wg = np.asarray(F_gll)
+    e = fe - fs
+    out = RunOutput(
+        l2_err=float(np.sqrt(np.sum(w * e * e) / np.sum(w * fs * fs))),
+        max_err=float(np.max(np.abs(e)) / np.max(np.abs(fs))),
+        l1_err=float(np.sum(w * np.abs(e)) / np.sum(w * np.abs(fs))),
+        mass_s=float(np.sum(w * fs * ds)), mass_e=float(np.sum(w * fe * de)),
+        mass_gll_s=float(np.sum(wg * fs * ds)),
+        mass_gll_e=float(np.sum(wg * fe * de)),
+        min_s=float(fs.min()), max_s=float(fs.max()),
+        min_e=float(fe.min()), max_e=float(fe.max()),
+        et_timestep=et,
+        max_step_mass_err=max_step_mass_err,
+        max_step_bounds_err=max_step_bounds_err,
+    )
+    if verbose:
+        print(out.one_liner(method=method, ode=ode, ic=ics[0], np=np_, ne=ne,
+                            nsteps=nsteps, mono=filter_, lim=limiter))
+    return out
+
+
+def main(argv=None):
+    """CLI mirroring the essential slmmir flags (slmmir.cpp:4-117)."""
+    import argparse
+    p = argparse.ArgumentParser(description="compose_tpu transport driver")
+    p.add_argument("-method", default="pisl",
+                   choices=["pisl", "isl", "pislu"])
+    p.add_argument("-ode", default="divergent")
+    p.add_argument("-ic", action="append", default=None)
+    p.add_argument("-ne", type=int, default=10)
+    p.add_argument("-np", dest="np_", type=int, default=4)
+    p.add_argument("-nsteps", type=int, default=12)
+    p.add_argument("-T", type=float, default=12.0)
+    p.add_argument("-mono", dest="filter_", default="qlt",
+                   choices=["qlt", "caas", "mn2", "none"])
+    p.add_argument("-lim", dest="limiter", default="mn2",
+                   choices=["mn2", "caas", "caags", "none"])
+    p.add_argument("-basis", default="GllNodal")
+    p.add_argument("-nsub", type=int, default=8)
+    a = p.parse_args(argv)
+    ics = tuple(a.ic) if a.ic else ("gaussianhills",)
+    run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
+        method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
+        nsub=a.nsub)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Quasiuniform equiangular cubed-sphere spectral-element mesh.
+
+TPU-first counterpart of /root/reference/methods/slmm/slmm_mesh.cpp. The
+reference builds six planar meshes, stitches shared vertices by bookkeeping,
+and derives CGLL/DGLL numberings by sequential traversal. Here everything is
+closed-form and array-based:
+
+  - Cell (face, iy, ix) has id face*ne^2 + iy*ne + ix; its corners are images
+    of the equiangular box corners under the face's gnomonic frame. The cell
+    ordering and face frames match the reference's `get_cell_idx`
+    (slmm_mesh.cpp:751-806), so point location is O(1) index arithmetic - no
+    octree on the hot path.
+  - All np^2 nodes of a cell are the bilinear-sphere-map images of the
+    reference-square GLL grid over the cell corners. (This is exactly what
+    the reference's make_cgll_from_geo chord-interpolation construction
+    produces - lerp of lerps == bilinear - followed by one normalization;
+    slmm_mesh.cpp:259-353.)
+  - The CGLL (continuous) numbering is combinatorial: each node gets an exact
+    integer key on the cube surface, so shared nodes dedupe without floating
+    point tolerance games. This stays robust at any resolution.
+
+Mesh construction runs once on the host in numpy; the result is a pytree of
+static jnp arrays the jitted transport step closes over.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import basis as basis_mod
+from ..ops import quadrature, sphere, sqr
+
+_QUARTER_PI = 0.25 * np.pi
+
+
+def _face_point(face, X, Y):
+    """Map gnomonic coords (X, Y) (tangents, in [-1,1]) on `face` to an
+    (unnormalized) cube point. Frames follow the reference's face transforms
+    (slmm_mesh.cpp:108-137) and agree with get_cell_idx's face coords."""
+    O = np.ones_like(X)
+    if face == 0:
+        return np.stack([X, -O, Y], axis=-1)
+    if face == 1:
+        return np.stack([O, X, Y], axis=-1)
+    if face == 2:
+        return np.stack([-X, O, Y], axis=-1)
+    if face == 3:
+        return np.stack([-O, -X, Y], axis=-1)
+    if face == 4:
+        return np.stack([X, Y, O], axis=-1)
+    return np.stack([-X, Y, -O], axis=-1)
+
+
+def _face_key(face, gx2, gy2, N):
+    """Exact integer cube-surface key for a face lattice point, where
+    gx2 = 2*gx - N in [-N, N]. Shared edge/corner nodes from different faces
+    produce identical keys."""
+    O = np.full_like(gx2, N)
+    if face == 0:
+        k = (gx2, -O, gy2)
+    elif face == 1:
+        k = (O, gx2, gy2)
+    elif face == 2:
+        k = (-gx2, O, gy2)
+    elif face == 3:
+        k = (-O, -gx2, gy2)
+    elif face == 4:
+        k = (gx2, gy2, O)
+    else:
+        k = (-gx2, gy2, -O)
+    return np.stack(k, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CubedSphereMesh:
+    """Static mesh data. All jnp arrays; safe to close over in jit."""
+    ne: int
+    np_: int                      # nodes per cell edge
+    ncell: int
+    cnn: int                      # number of unique (continuous) nodes
+    basis_name: str
+    corners: jnp.ndarray          # (ncell, 4, 3) cell corner unit vectors
+    cell_nodes_xyz: jnp.ndarray   # (ncell, np, np, 3) node positions [j, i]
+    dgll2cgll: jnp.ndarray        # (ncell, np*np) int32 -> continuous node id
+    cgll_xyz: jnp.ndarray         # (cnn, 3) canonical node coordinates
+    cgll_rep: jnp.ndarray         # (cnn,) int32: a representative dgll index
+    jac_node: jnp.ndarray         # (ncell, np*np) corner-bilinear |J| at nodes
+    dgbfi_gll: jnp.ndarray        # (ncell, np*np) Homme mass weights
+    dgbfi_sphere: jnp.ndarray     # (ncell, np*np) spherical basis integrals
+    basis_x: jnp.ndarray          # (np,) basis node coords
+    basis_w: jnp.ndarray          # (np,) basis weights (islet-modified if any)
+
+    @property
+    def np2(self):
+        return self.np_ * self.np_
+
+
+_BUILD_CACHE = {}
+
+
+def build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
+          tq_order: int = 18) -> CubedSphereMesh:
+    """Cached mesh construction (meshes are static data)."""
+    key = (ne, np_, basis_name, tq_order)
+    if key not in _BUILD_CACHE:
+        _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order)
+    return _BUILD_CACHE[key]
+
+
+def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
+           tq_order: int = 18) -> CubedSphereMesh:
+    ncell = 6 * ne * ne
+    np2 = np_ * np_
+    bas = basis_mod.create(basis_name, np_)
+    gx, gw = basis_mod.gll_nodes_weights(np_)  # geometry always uses GLL grid
+
+    # --- Cell corners, all faces at once.
+    i = np.arange(ne)
+    fx0 = -1.0 + 2.0 * i / ne             # lower cell edges in face coords
+    fx1 = -1.0 + 2.0 * (i + 1) / ne
+    Xe = np.tan(_QUARTER_PI * np.concatenate([fx0, [1.0]]))  # (ne+1,) edges
+    corners = np.empty((6, ne, ne, 4, 3))
+    # Corner order CCW: (x0,y0), (x1,y0), (x1,y1), (x0,y1); arrays are
+    # indexed [iy, ix].
+    XX0, YY0 = np.meshgrid(Xe[:-1], Xe[:-1], indexing='xy')
+    XX1, YY1 = np.meshgrid(Xe[1:], Xe[1:], indexing='xy')
+    for f in range(6):
+        corners[f, :, :, 0] = _face_point(f, XX0, YY0)
+        corners[f, :, :, 1] = _face_point(f, XX1, YY0)
+        corners[f, :, :, 2] = _face_point(f, XX1, YY1)
+        corners[f, :, :, 3] = _face_point(f, XX0, YY1)
+    corners = corners.reshape(ncell, 4, 3)
+    corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
+
+    # --- Cell nodes: bilinear-sphere map of the GLL reference grid.
+    A, B = np.meshgrid(gx, gx, indexing='xy')  # A varies along i (fast)
+    # N_k(a,b) quarter-bilinear weights, (np, np, 4)
+    qtr = 0.25
+    N = np.stack([
+        qtr * (1 - A) * (1 - B), qtr * (1 + A) * (1 - B),
+        qtr * (1 + A) * (1 + B), qtr * (1 - A) * (1 + B)], axis=-1)
+    nodes = np.einsum('jik,ckd->cjid', N, corners)
+    nodes /= np.linalg.norm(nodes, axis=-1, keepdims=True)
+
+    # --- Combinatorial CGLL numbering via exact integer cube keys.
+    # Node (ci=(f,iy,ix), local (i,j)) has face-lattice coords
+    # gx = ix*(np-1)+i in [0, N_], N_ = ne*(np-1). Key scale: to keep keys
+    # integral AND shared across faces, use gx2 = 2*gx - N_.
+    N_ = ne * (np_ - 1)
+    f_idx, iy_idx, ix_idx = np.unravel_index(np.arange(ncell), (6, ne, ne))
+    li = np.arange(np_)
+    lat_i = (ix_idx[:, None, None] * (np_ - 1) + li[None, None, :])  # (ncell,1,np)
+    lat_j = (iy_idx[:, None, None] * (np_ - 1) + li[None, :, None])  # (ncell,np,1)
+    gx2 = (2 * lat_i - N_) * np.ones((1, np_, 1), dtype=np.int64)
+    gy2 = (2 * lat_j - N_) * np.ones((1, 1, np_), dtype=np.int64)
+    keys = np.empty((ncell, np_, np_, 3), dtype=np.int64)
+    for f in range(6):
+        sel = f_idx == f
+        keys[sel] = _face_key(f, gx2[sel], gy2[sel], N_)
+    # Interior basis nodes may not sit on the integer lattice when the basis
+    # node layout is not GLL; still fine - geometry grid is always GLL here.
+    flat_keys = keys.reshape(ncell * np2, 3)
+    uniq, first_idx, inverse = np.unique(
+        flat_keys, axis=0, return_index=True, return_inverse=True)
+    cnn = uniq.shape[0]
+    dgll2cgll = inverse.astype(np.int32).reshape(ncell, np2)
+    cgll_rep = first_idx.astype(np.int32)
+    cgll_xyz = nodes.reshape(ncell * np2, 3)[first_idx]
+
+    # --- Corner-bilinear Jacobians at nodes (slmmir_util.cpp:26-41).
+    jcorners = jnp.asarray(corners)
+    aa = jnp.asarray(A.ravel())
+    bb = jnp.asarray(B.ravel())
+    jac = sqr.bilinear_jacobian_norm(
+        jcorners[:, None, :, :], aa[None, :], bb[None, :])
+    jac_node = np.asarray(jac)  # (ncell, np2)
+
+    # --- Homme (QOF) mass weights: J * w_i * w_j with standard GLL weights
+    # (slmmir_util.cpp:101-128 computes 0.25 * J01 * wi * wj with the
+    # Jacobian taken w.r.t. [0,1]^2 ref coords; our Jacobian is w.r.t.
+    # [-1,1]^2, which absorbs the 0.25. The reference passes GLL() explicitly
+    # even when the transport basis is an islet basis.)
+    w2 = np.outer(gw, gw).ravel()  # [j, i] flattened to j*np + i
+    dgbfi_gll = jac_node * w2[None, :]
+
+    # --- Spherical basis-function integrals (QOS) by triangle quadrature
+    # (slmmir_util.cpp:49-86): split each cell into triangles (0,1,2), (0,2,3),
+    # evaluate GLL basis at each quadrature point via the inverse sphere map.
+    bary, qw = quadrature.get_coef(tq_order)
+    dgbfi_sphere = np.asarray(
+        _dgbfi_sphere(jcorners, jnp.asarray(bary), jnp.asarray(qw), np_)
+    ).reshape(ncell, np2)
+
+    return CubedSphereMesh(
+        ne=ne, np_=np_, ncell=ncell, cnn=cnn, basis_name=basis_name,
+        corners=jnp.asarray(corners),
+        cell_nodes_xyz=jnp.asarray(nodes),
+        dgll2cgll=jnp.asarray(dgll2cgll),
+        cgll_xyz=jnp.asarray(cgll_xyz),
+        cgll_rep=jnp.asarray(cgll_rep),
+        jac_node=jnp.asarray(jac_node),
+        dgbfi_gll=jnp.asarray(dgbfi_gll),
+        dgbfi_sphere=jnp.asarray(dgbfi_sphere),
+        basis_x=jnp.asarray(bas.x),
+        basis_w=jnp.asarray(bas.w),
+    )
+
+
+@partial(jax.jit, static_argnames=("np_",))
+def _dgbfi_sphere(corners, bary, qw, np_):
+    gll_bas = basis_mod.GLL(np_)
+    # Both triangles (0,1,2) and (0,2,3) of each cell, batched together.
+    v1 = jnp.concatenate([corners[:, 0, :], corners[:, 0, :]])[:, None, :]
+    v2 = jnp.concatenate([corners[:, 1, :], corners[:, 2, :]])[:, None, :]
+    v3 = jnp.concatenate([corners[:, 2, :], corners[:, 3, :]])[:, None, :]
+    cc = jnp.concatenate([corners, corners])[:, None, :, :]
+    jacq, pq = sphere.tri_jacobian(v1, v2, v3, bary[None, :, :])
+    al, be = sqr.sphere_to_ref(cc, pq)
+    gi = gll_bas.eval(al)   # (2*ncell, nq, np)
+    gj = gll_bas.eval(be)
+    out = jnp.einsum('q,cq,cqj,cqi->cji', 0.5 * qw, jacq, gj, gi)
+    n = corners.shape[0]
+    return out[:n] + out[n:]
+
+
+@partial(jax.jit, static_argnames=("ne",))
+def get_cell_idx(ne: int, p):
+    """O(1) point -> cell id on the quasiuniform equiangular mesh
+    (slmm_mesh.cpp:751-806). `p` is (..., 3) on (or near) the unit sphere."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # Face selection matching get_cube_face_idx exactly.
+    face = jnp.where(
+        ax >= ay,
+        jnp.where(ax >= az, jnp.where(x > 0, 1, 3), jnp.where(z > 0, 4, 5)),
+        jnp.where(ay >= az, jnp.where(y > 0, 2, 0), jnp.where(z > 0, 4, 5)))
+    # Face coordinates.
+    dmap = jnp.stack([ay, ax, ay, ax, az, az], axis=-1)
+    d = jnp.take_along_axis(dmap, face[..., None], axis=-1)[..., 0]
+    fx = jnp.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [x / d, y / d, -x / d, -y / d, x / d], -x / d)
+    fy = jnp.where(face >= 4, y / d, z / d)
+    fx = jnp.arctan(fx) / _QUARTER_PI
+    fy = jnp.arctan(fy) / _QUARTER_PI
+    ix = jnp.clip(jnp.floor(0.5 * (1 + fx) * ne).astype(jnp.int32), 0, ne - 1)
+    iy = jnp.clip(jnp.floor(0.5 * (1 + fy) * ne).astype(jnp.int32), 0, ne - 1)
+    return (ne * ne * face + ne * iy + ix).astype(jnp.int32)

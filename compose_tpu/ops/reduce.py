@@ -1,0 +1,45 @@
+"""Deterministic, decomposition-invariant reductions.
+
+The reference guarantees bit-for-bit (BFB) reproducibility of mass sums under
+changes in thread count / rank decomposition via fixed-order accumulation
+(/root/reference/methods/slmm/slmm_accum.hpp:12-34) and a fixed-topology tree
+allreduce (/root/reference/cedr/cedr_bfb_tree_allreduce.hpp). On TPU, XLA
+reductions are deterministic for a fixed partitioning, but the reduction order
+changes with sharding. `bfb_sum` fixes the summation order to a binary tree
+over the *global* index space, so the result is bitwise identical regardless
+of how (or whether) the array is sharded - the same contract as the
+reference's BfbTreeAllReducer.
+"""
+
+import jax.numpy as jnp
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def bfb_sum(x, axis: int = -1):
+    """Sum along `axis` with a fixed pairwise binary-tree order.
+
+    The tree is defined purely by global element index (pad with zeros to the
+    next power of two, then halve log2(n) times), so the result is independent
+    of device layout and identical run to run.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    p = _next_pow2(n)
+    if p != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, p - n)]
+        x = jnp.pad(x, pad)
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = x[..., :h] + x[..., h:]
+    return x[..., 0]
+
+
+def bfb_masked_sum(x, mask, axis: int = -1):
+    """bfb_sum of x where mask else 0."""
+    return bfb_sum(jnp.where(mask, x, jnp.zeros_like(x)), axis=axis)

@@ -1,0 +1,81 @@
+"""Direct stiffness summation (DSS): DGLL <-> CGLL transfers.
+
+Counterpart of /root/reference/methods/slmm/slmmir_d2c.{hpp,cpp} (D2Cer). The
+reference builds CSR transpose maps and loops per continuous node; here the
+same transfers are `segment_sum`s over the dgll->cgll index map - one fused
+gather/scatter per field, batched over tracers. Scatter-adds in XLA are
+deterministic for a fixed layout, and the data order is fixed by the global
+node numbering, so sums are reproducible run to run.
+
+Conventions: fields carry the DGLL axis LAST, shape (..., ndgll); the
+continuous axis is also last, (..., cnn).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _seg(op, x, ids, cnn):
+    """Apply a jax.ops.segment_* op along the last axis of x."""
+    xm = jnp.moveaxis(x, -1, 0)
+    out = op(xm, ids, num_segments=cnn)
+    return jnp.moveaxis(out, 0, -1)
+
+
+@partial(jax.jit, static_argnames=("cnn", "clip_minmax"))
+def d2c(dg, d2c_map, dgbfi, cnn: int, clip_minmax: bool = True):
+    """Weighted average of coincident DGLL values onto CGLL nodes
+    (slmmir_d2c.cpp:60-84). dg: (..., ndgll); d2c_map: (ndgll,) int; dgbfi:
+    (ndgll,) weights. Returns (..., cnn)."""
+    num = _seg(jax.ops.segment_sum, dgbfi * dg, d2c_map, cnn)
+    den = _seg(jax.ops.segment_sum, jnp.broadcast_to(dgbfi, dg.shape),
+               d2c_map, cnn)
+    cg = num / den
+    if clip_minmax:
+        # A weighted average cannot create new extrema; clip numerical noise
+        # (see the comment at slmmir_d2c.cpp:108-113).
+        mx = _seg(jax.ops.segment_max, dg, d2c_map, cnn)
+        mn = _seg(jax.ops.segment_min, dg, d2c_map, cnn)
+        cg = jnp.clip(cg, mn, mx)
+    return cg
+
+
+@jax.jit
+def c2d(cg, d2c_map):
+    """Inject CGLL values back to DGLL slots (slmmir_d2c.cpp:54-58)."""
+    return cg[..., d2c_map]
+
+
+@partial(jax.jit, static_argnames=("cnn",))
+def dss(dg, d2c_map, dgbfi, cnn: int):
+    """Make a DGLL field continuous: d2c then c2d (slmmir_d2c.cpp:86-89)."""
+    return c2d(d2c(dg, d2c_map, dgbfi, cnn), d2c_map)
+
+
+@partial(jax.jit, static_argnames=("cnn",))
+def d2c_q(rho_dg, q_dg, d2c_map, dgbfi, cnn: int):
+    """Mixing-ratio DSS: average q weighted by dgbfi*rho, clipped to the
+    coincident-node range (slmmir_d2c.cpp:91-115)."""
+    w = dgbfi * rho_dg
+    num = _seg(jax.ops.segment_sum, w * q_dg, d2c_map, cnn)
+    den = _seg(jax.ops.segment_sum, jnp.broadcast_to(w, q_dg.shape),
+               d2c_map, cnn)
+    # Zero-mass nodes (rho == 0 at every coincident slot): fall back to the
+    # dgbfi-weighted average so q stays finite (the reference assumes
+    # rho > 0 here).
+    num0 = _seg(jax.ops.segment_sum, dgbfi * q_dg, d2c_map, cnn)
+    den0 = _seg(jax.ops.segment_sum,
+                jnp.broadcast_to(dgbfi, q_dg.shape), d2c_map, cnn)
+    ok = den > 0
+    cg = jnp.where(ok, num / jnp.where(ok, den, 1.0), num0 / den0)
+    mx = _seg(jax.ops.segment_max, q_dg, d2c_map, cnn)
+    mn = _seg(jax.ops.segment_min, q_dg, d2c_map, cnn)
+    return jnp.clip(cg, mn, mx)
+
+
+@partial(jax.jit, static_argnames=("cnn",))
+def dss_q(rho_dg, q_dg, d2c_map, dgbfi, cnn: int):
+    """q-DSS round trip (slmmir_d2c.cpp:117-120)."""
+    return c2d(d2c_q(rho_dg, q_dg, d2c_map, dgbfi, cnn), d2c_map)

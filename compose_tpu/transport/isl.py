@@ -1,0 +1,208 @@
+"""Interpolation semi-Lagrangian (ISL) transport step, TPU-native.
+
+Counterpart of /root/reference/methods/slmm/slmmir_remapper_isl.cpp. One
+transport step is a single jitted function:
+
+  1. departure points: backward trajectory integration of the unique CGLL
+     nodes (timeint.integrate; reference slmmir.cpp:1296-1301 uses bwd
+     integration for ISL);
+  2. source cell per node: O(1) equiangular index math (mesh.get_cell_idx;
+     reference find_src_cell, slmmir_remapper_isl.cpp:1101-1122);
+  3. batched Newton sphere->ref + tensor-product basis eval
+     (calc_departure_data, :1124-1153);
+  4. interpolation: gather each node's source cell values and contract with
+     the np^2 weight tensor - one einsum over all nodes and all tracers
+     (interp, :1183-1238); density additionally carries the departure/arrival
+     Jacobian ratio (calc_jacobian_departure, :1155-1181);
+  5. property preservation: global mass redistribution over cells
+     (transport/spf.py) + cell-local limiter (transport/limiter.py), the
+     isl_cdr flow (:1292-1455);
+  6. DSS to restore continuity (transport/dss.py).
+
+Everything is fixed-shape and batched; tracers are a dense leading axis.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import basis as basis_mod
+from ..mesh import cubed_sphere
+from ..ops import sphere, sqr
+from ..ops.reduce import bfb_sum
+from . import dss, limiter as limiter_mod, spf, timeint
+
+
+@dataclasses.dataclass(frozen=True)
+class IslConfig:
+    ne: int
+    np_: int = 4
+    basis: str = "GllNodal"
+    filter: str = "qlt"          # global CDR: qlt | caas | mn2 | none
+    limiter: str = "mn2"         # cell-local: mn2 | caas | caags | none
+    rho_isl: bool = True         # pisl: transport rho by ISL too
+    nsub: int = 8                # trajectory substeps per transport step
+    positive_only: bool = False  # -mono *-pve: nonnegativity only
+
+
+class IslTransport:
+    """Holds static mesh/basis data + the jitted step."""
+
+    def __init__(self, mesh: cubed_sphere.CubedSphereMesh, wind,
+                 config: IslConfig):
+        assert mesh.ne == config.ne and mesh.np_ == config.np_
+        self.mesh = mesh
+        self.config = config
+        self.wind = wind
+        self.basis = basis_mod.create(config.basis, config.np_)
+        self.gll = basis_mod.GLL(config.np_)
+        # Derivative matrix at the GLL nodes for the isoparametric Jacobian
+        # (the reference always uses plain GLL derivatives here,
+        # slmmir_remapper_isl.cpp:178-183).
+        self.deriv_at_nodes = self.gll.eval_deriv(self.gll.x)  # (node, bf)
+        self.F = mesh.dgbfi_gll  # -dmc f: Homme mass definition
+        self.d2c_map = mesh.dgll2cgll.reshape(-1)
+        if config.filter != "none":
+            self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
+        else:
+            self.mrd = None
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def step(self, rho, q, ts, tf):
+        """Advance one transport step from ts to tf.
+
+        rho: (ncell, np2); q: (nt, ncell, np2) mixing ratios.
+        Returns (rho', q').
+        """
+        return self._step(rho, q, ts, tf)
+
+    # ------------------------------------------------------------------
+    def _departure_data(self, ts, tf):
+        m = self.mesh
+        dep = timeint.integrate(self.wind.velocity, tf, ts, m.cgll_xyz,
+                                self.config.nsub)
+        ci = cubed_sphere.get_cell_idx(m.ne, dep)
+        a, b = sqr.sphere_to_ref(m.corners[ci], dep)
+        va = self.basis.eval(a)          # (cnn, np)
+        vb = self.basis.eval(b)
+        w = (vb[:, :, None] * va[:, None, :]).reshape(m.cnn, m.np2)
+        return dep, ci, w
+
+    def _interp(self, field, ci, w):
+        """field: (..., ncell, np2) -> (..., cnn) interpolated at departure
+        points."""
+        src = field[..., ci, :]                      # (..., cnn, np2)
+        return jnp.einsum('...cx,cx->...c', src, w)
+
+    def _jacobian_departure(self, dep):
+        """Isoparametric |J| of the departure mesh at every DGLL node
+        (slmmir_remapper_isl.cpp:152-224, calc_isoparametric_jacobian)."""
+        m = self.mesh
+        D = self.deriv_at_nodes                      # (node, basisfn)
+        # Departure positions of each cell's np x np nodes, [j, i] layout.
+        pc = dep[m.dgll2cgll].reshape(m.ncell, m.np_, m.np_, 3)
+        f = pc                                        # eval at nodes: f = p
+        # fa[c, tj, ti, d] = sum_i D[ti, i] p[c, tj, i, d]; likewise fb along
+        # the j (b) direction. Both einsums produce [c, tj, ti, d] layouts.
+        fa = jnp.einsum('ti,cjid->cjtd', D, pc)
+        fb = jnp.einsum('tj,cjid->ctid', D, pc)
+        r2 = sphere.norm2(f)[..., None]
+        r = jnp.sqrt(r2)
+        ua = (fa - f * (sphere.dot(f, fa)[..., None] / r2)) / r
+        ub = (fb - f * (sphere.dot(f, fb)[..., None] / r2)) / r
+        jac = sphere.norm(sphere.cross(ua, ub))
+        return jac.reshape(m.ncell, m.np2)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, rho, q, ts, tf):
+        cfg = self.config
+        m = self.mesh
+        F = self.F
+        dep, ci, w = self._departure_data(ts, tf)
+
+        # --- Density transport.
+        if cfg.rho_isl:
+            rho_interp = self._interp(rho, ci, w)            # (cnn,)
+            Jdep = self._jacobian_departure(dep)             # (ncell, np2)
+            ratio = Jdep / m.jac_node
+            rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
+                m.ncell, m.np2)
+        else:
+            rho_tgt = rho
+
+        # --- Tracer interpolation (all tracers in one gather+einsum).
+        q_interp = self._interp(q, ci, w)                    # (nt, cnn)
+        q_tgt = q_interp[:, self.d2c_map].reshape(
+            q.shape[0], m.ncell, m.np2)
+
+        if cfg.filter == "none":
+            rho_out = (dss.dss(rho_tgt.reshape(-1), self.d2c_map,
+                               F.reshape(-1), m.cnn).reshape(m.ncell, m.np2)
+                       if cfg.rho_isl else rho_tgt)
+            q_out = dss.dss_q(
+                rho_out.reshape(-1), q_tgt.reshape(q.shape[0], -1),
+                self.d2c_map, F.reshape(-1), m.cnn).reshape(q_tgt.shape)
+            return rho_out, q_out
+
+        # --- CDR for rho (isl_cdr_rho, slmmir_remapper_isl.cpp:1240-1289).
+        Ff = F.reshape(-1)
+        if cfg.rho_isl:
+            mass_src = bfb_sum(Ff * rho.reshape(-1))
+            mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
+            # Bounds [0, 2] on cell-mean density (reference record(ti,0,2,..)).
+            rho_mass, R_min, R_mass, R_max = spf.record(
+                F, rho_tgt, rho_tgt,
+                jnp.zeros_like(rho_tgt), jnp.full_like(rho_tgt, 2.0))
+            redist = self.mrd.redistribute(
+                rho_mass, R_min, R_mass, R_max, mass_src - mass_tgt)
+            delta = redist - R_mass
+            rho_tgt = limiter_mod.limit_density(F, rho_tgt, delta)
+            rho_tgt = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
+                              m.cnn).reshape(m.ncell, m.np2)
+
+        # --- CDR for tracers (isl_cdr, :1292-1455), vectorized over nt.
+        nt = q.shape[0]
+        Q_tgt = q_tgt * rho_tgt[None]
+        Q_mass_src = bfb_sum(
+            (Ff[None] * q.reshape(nt, -1) * rho.reshape(-1)[None]), axis=-1)
+        Q_mass_tgt = bfb_sum(Ff[None] * Q_tgt.reshape(nt, -1), axis=-1)
+
+        # Source-cell q bounds -> per-target-node bounds via the departure
+        # cell of each node.
+        q_min_cell = jnp.min(q, axis=-1)                     # (nt, ncell)
+        q_max_cell = jnp.max(q, axis=-1)
+        node_src_cell = ci[self.d2c_map].reshape(m.ncell, m.np2)
+        q_min_node = q_min_cell[:, node_src_cell]            # (nt, ncell, np2)
+        q_max_node = q_max_cell[:, node_src_cell]
+
+        # Per-cell records (nt-batched).
+        rhom = F[None] * rho_tgt[None]
+        Qc_min = jnp.sum(rhom * q_min_node, axis=-1)
+        Qc_max = jnp.sum(rhom * q_max_node, axis=-1)
+        Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
+
+        redist = self.mrd.redistribute(
+            jnp.sum(F * rho_tgt, axis=-1), Qc_min, Qc_mass, Qc_max,
+            Q_mass_src - Q_mass_tgt)
+        delta = redist - Qc_mass                             # (nt, ncell)
+
+        if cfg.limiter != "none":
+            lim = jax.vmap(
+                lambda Qi, qmin, qmax, di: limiter_mod.limit_tracer(
+                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter))
+            Q_tgt = lim(Q_tgt, q_min_node, q_max_node, delta)
+
+        # Q -> q with zero-density guard and numerical-noise clip
+        # (:1429-1452).
+        rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+        q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
+                          Q_tgt / rho_safe[None])
+        q_new = jnp.clip(q_new, q_min_node, q_max_node)
+
+        # --- DSS for tracers (mixing-ratio form; slmmir.cpp:1335-1339).
+        q_out = dss.dss_q(rho_tgt.reshape(-1), q_new.reshape(nt, -1),
+                          self.d2c_map, Ff, m.cnn).reshape(q_new.shape)
+        return rho_tgt, q_out

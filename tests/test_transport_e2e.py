@@ -1,0 +1,62 @@
+"""End-to-end transport runs against the reference's golden thresholds
+(/root/reference/methods/slmm/slmm_runtests.py:113-133). Each run asserts
+the parsed one-liner values exactly as the reference regression suite does:
+l2 error below golden, GLL-mass conservation <= 5e-14, extrema within the
+slotted-cylinders bounds [0.1, 1.0].
+"""
+
+import pytest
+
+from compose_tpu import driver
+
+ICS = ("slottedcylinders", "cosinebells", "gaussianhills")
+
+
+def check(out, l2_err, cv_gll=5e-14, mo_min=0.1, mo_max=1.0):
+    assert out.l2_err > 0
+    assert out.l2_err <= l2_err, out.l2_err
+    assert out.cv_gll <= cv_gll, out.cv_gll
+    assert out.min_e >= mo_min, out.min_e
+    assert out.max_e <= mo_max, out.max_e
+    # Internal per-step invariants (Observer::check, slmmir.cpp:955-957).
+    assert out.max_step_mass_err < 1e-12
+    assert out.max_step_bounds_err < 5e-13
+
+
+def test_smoke_caas_ne4():
+    out = driver.run(ne=4, np_=4, nsteps=3, ics=("gaussianhills",),
+                     filter_="caas", limiter="caas", nsub=2, verbose=False)
+    assert out.cv_gll <= 5e-14
+    assert out.max_step_mass_err < 1e-12
+    assert out.l2_err < 0.5
+
+
+@pytest.mark.slow
+def test_golden_pisl_qlt_ne10():
+    # slmm_runtests.py:115-116: pisl np4 ne10 mono=qlt -> l2 <= 3.34e-1.
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=ICS, filter_="qlt",
+                     limiter="mn2", verbose=False)
+    check(out, 3.34e-1)
+
+
+@pytest.mark.slow
+def test_golden_pisl_caas_ne10():
+    # slmm_runtests.py:123-124: pisl np4 ne10 mono=caas -> l2 <= 3.47e-1.
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=ICS, filter_="caas",
+                     limiter="mn2", verbose=False)
+    check(out, 3.47e-1)
+
+
+@pytest.mark.slow
+def test_golden_tracer_consistency():
+    # slmm_runtests.py:129-132: constant q with transported rho stays 0.42.
+    # (The reference row uses -method isl with remapped rho; until the
+    # cell-integrated remap lands we use pisl, where rho is ISL-transported -
+    # the tracer-consistency property under test is the same.)
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=("constant",),
+                     filter_="qlt", limiter="mn2", method="pisl",
+                     verbose=False)
+    assert out.l2_err <= 3e-15
+    assert out.cv_gll <= 1e-13
+    assert abs(out.min_e - 0.42) < 1e-13
+    assert abs(out.max_e - 0.42) < 1e-13
