@@ -84,7 +84,7 @@ def init_tracers(mesh, ic_names):
 
 def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
-        basis="GllNodal", nsub=8, verbose=True):
+        basis="GllNodal", nsub=8, dmc="none", verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -92,9 +92,16 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     """
     mesh = cubed_sphere.build(ne, np_, basis)
     wind = gallery.create_wind(ode)
-    cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
-                    limiter=limiter, rho_isl=(method == "pisl"), nsub=nsub)
-    model = IslTransport(mesh, wind, cfg)
+    if method in ("ir", "cdg"):
+        from .transport.ir import IrConfig, IrTransport
+        cfg = IrConfig(ne=ne, np_=np_, method=method, dmc=dmc,
+                       filter=filter_, limiter=limiter, nsub=nsub)
+        model = IrTransport(mesh, wind, cfg)
+    else:
+        cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
+                        limiter=limiter, rho_isl=(method == "pisl"),
+                        nsub=nsub)
+        model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
     q = init_tracers(mesh, ics)
@@ -160,7 +167,8 @@ def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(description="compose_tpu transport driver")
     p.add_argument("-method", default="pisl",
-                   choices=["pisl", "isl", "pislu"])
+                   choices=["pisl", "isl", "pislu", "ir", "cdg"])
+    p.add_argument("-dmc", default="none", choices=["none", "es", "f"])
     p.add_argument("-ode", default="divergent")
     p.add_argument("-ic", action="append", default=None)
     p.add_argument("-ne", type=int, default=10)
@@ -177,7 +185,7 @@ def main(argv=None):
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
-        nsub=a.nsub)
+        nsub=a.nsub, dmc=a.dmc)
 
 
 if __name__ == "__main__":

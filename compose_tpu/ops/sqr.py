@@ -69,7 +69,9 @@ def _sphere_jacobian(corners, a, b):
     s = jnp.einsum('...i,...id->...d', N, corners)
     sa = jnp.einsum('...i,...id->...d', Na, corners)
     sb = jnp.einsum('...i,...id->...d', Nb, corners)
-    r2 = sphere.norm2(s)[..., None]
+    # Guard: a folded (degenerate) quad's bilinear map can pass through the
+    # origin; keep the masked Newton NaN-free for such lanes.
+    r2 = jnp.maximum(sphere.norm2(s)[..., None], 1e-300)
     r = jnp.sqrt(r2)
     sa = (sa - s * (sphere.dot(s, sa)[..., None] / r2)) / r
     sb = (sb - s * (sphere.dot(s, sb)[..., None] / r2)) / r
@@ -78,12 +80,15 @@ def _sphere_jacobian(corners, a, b):
 
 def _solve_Jxr(sa, sb, r):
     """Least-squares solve of [sa sb] dx = r via Gram-Schmidt QR on the two
-    3-vector columns (slmmir_remapper_isl.cpp:47-65)."""
-    n1 = sphere.norm(sa)
+    3-vector columns (slmmir_remapper_isl.cpp:47-65). Degenerate Jacobians
+    (folded/collapsed quads under extreme deformation) are guarded so the
+    masked Newton loop stays NaN-free - those lanes simply stop moving."""
+    tiny = 1e-300
+    n1 = jnp.maximum(sphere.norm(sa), tiny)
     q1 = sa / n1[..., None]
     alpha = sphere.dot(q1, sb)
     v2 = sb - alpha[..., None] * q1
-    n2 = sphere.norm(v2)
+    n2 = jnp.maximum(sphere.norm(v2), tiny)
     q2 = v2 / n2[..., None]
     qtr1 = sphere.dot(q1, r)
     qtr2 = sphere.dot(q2, r)

@@ -1,0 +1,318 @@
+"""Cell-integrated remap (IR / CDG) transport, TPU-native.
+
+Counterpart of /root/reference/methods/slmm/slmmir_remapper.cpp (calc_T_fwd,
+fill_T_fwd_sphere, project_nolimiter / project_and_limit_cdr) and
+slmmir_remap_data.cpp (RemapData::remap, FullMassMatrix). Per step:
+
+  1. advect the deduplicated cell-corner vertices FORWARD ts->tf
+     (slmmir.cpp:1291-1295, fwd stepping for cell-integrated methods);
+  2. for every (target cell, candidate source) pair in a static 2-ring
+     table, clip the advected source quad against the Eulerian target cell
+     (batched Sutherland-Hodgman, ops/clip.py), fan-triangulate, and
+     accumulate the np^2 x np^2 mixed-mass-matrix block by triangle
+     quadrature with two batched Newton inverse maps per point
+     (fill_T_fwd_sphere, :369-463);
+  3. density factor FsmoFtm = (Eulerian src basis integrals) / (advected
+     src basis integrals) for IR (:731-757); CDG instead multiplies the
+     Jacobian ratio inside the quadrature;
+  4. project: per-cell y = sum_cand T_block . (src * FsmoFtm), then a
+     Cholesky solve with the full mass matrix; optional per-cell equality
+     constraint on the local source-share mass (solve_1eq_ls,
+     slmmir_remap_data.cpp:78-116) for -dmc es;
+  5. optional CDR: per-cell q bounds from the T-graph neighborhood, global
+     mass redistribution (zero net discrepancy), cell-local limiter
+     (project_and_limit_cdr, :566-647).
+
+All pair work is chunked through lax.map so peak memory stays bounded while
+each chunk is one fused kernel.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import basis as basis_mod
+from ..mesh import cubed_sphere, ir_data
+from ..ops import clip, sphere, sqr
+from ..ops.reduce import bfb_sum
+from . import dss, limiter as limiter_mod, spf, timeint
+
+
+@dataclasses.dataclass(frozen=True)
+class IrConfig:
+    ne: int
+    np_: int = 4
+    method: str = "ir"           # ir | cdg
+    dmc: str = "none"            # none | es (equality-sphere)
+    filter: str = "none"         # global CDR: qlt | caas | mn2 | none
+    limiter: str = "mn2"
+    nsub: int = 8
+    pair_chunks: int = 16        # lax.map chunks over (tgt, cand) pairs
+
+
+class IrTransport:
+    def __init__(self, mesh: cubed_sphere.CubedSphereMesh, wind,
+                 config: IrConfig):
+        self.mesh = mesh
+        self.config = config
+        self.wind = wind
+        self.ird = ir_data.build(mesh)
+        self.gll = basis_mod.GLL(config.np_)
+        self.F_sphere = mesh.dgbfi_sphere
+        self.F_mass = mesh.dgbfi_sphere  # dgbfi_mass for dmc in {none, es}
+        self.d2c_map = mesh.dgll2cgll.reshape(-1)
+        if config.filter != "none":
+            self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
+        else:
+            self.mrd = None
+        self._step = jax.jit(self._step_impl)
+
+    def step(self, rho, q, ts, tf):
+        return self._step(rho, q, ts, tf)
+
+    # ------------------------------------------------------------------
+    def _pairs(self, adv_cells):
+        """(src, tgt) candidate pairs: each advected source cell is paired
+        with the 2-ring of Eulerian cells around its LANDING cell (the cell
+        containing its advected center). This replaces the reference's
+        octree search over advected bounding boxes
+        (calc_T_pattern_fwd, slmmir_remapper.cpp:65-151) with O(1) index
+        math - displacement is unbounded, only the advected cell's SPREAD
+        must fit the ring (max_hits=25, :7)."""
+        m, ird = self.mesh, self.ird
+        ncell = m.ncell
+        ncand = ird.cands.shape[1]
+        ctr = sphere.normalize(jnp.mean(adv_cells, axis=1))
+        land = cubed_sphere.get_cell_idx(m.ne, ctr)       # (ncell,)
+        pair_src = jnp.repeat(jnp.arange(ncell), ncand)
+        pair_tgt = ird.cands[land].reshape(-1)
+        pair_mask = ird.cands_mask[land].reshape(-1)
+        return pair_src, pair_tgt, pair_mask
+
+    def _assemble_T(self, adv_vert, pair_src, pair_tgt, pair_mask):
+        """Build per-pair T blocks (npair, np2, np2) and src-share integrals
+        p_s_ol (npair, np2) from advected vertices."""
+        m, ird, cfg = self.mesh, self.ird, self.config
+        ncell, np2 = m.ncell, m.np2
+        euler_v = ird.vert_xyz[ird.cell2vert]            # (ncell, 4, 3)
+        adv_cells = adv_vert[ird.cell2vert]              # (ncell, 4, 3)
+
+        tgt_idx = pair_tgt
+        src_idx = pair_src
+
+        nq = ird.tq_w.shape[0]
+        bary = ird.tq_bary
+        qw = ird.tq_w
+        is_cdg = cfg.method == "cdg"
+
+        def pair_fn(args):
+            tci, sci, pmask = args
+            tgt_v = euler_v[tci]                          # (B, 4, 3)
+            tgt_nml = ird.edge_nmls[tci]
+            src_v = adv_cells[sci]
+            tgt_corners = m.corners[tci]
+            # Clip advected source quad against the target cell.
+            poly0 = jnp.concatenate(
+                [src_v, jnp.zeros_like(src_v)], axis=-2)  # (B, 8, 3)
+            n0 = jnp.where(pmask, 4, 0).astype(jnp.int32)
+            vo, no = clip.clip_against_poly(tgt_v, tgt_nml, poly0, n0)
+            T = jnp.zeros(tci.shape + (np2, np2))
+            ps = jnp.zeros(tci.shape + (np2,))
+            for k in range(1, clip.MAX_NVERT - 1):
+                act = (k + 1) < no                         # (B,)
+                jac, pq = sphere.tri_jacobian(
+                    vo[..., 0, :][..., None, :],
+                    vo[..., k, :][..., None, :],
+                    vo[..., k + 1, :][..., None, :],
+                    bary[None, :, :])                      # (B, nq), (B,nq,3)
+                ta, tb = sqr.sphere_to_ref(
+                    tgt_corners[..., None, :, :], pq)
+                sa, sb = sqr.sphere_to_ref(src_v[..., None, :, :], pq)
+                d0 = 0.5 * qw[None, :] * jac
+                if is_cdg:
+                    # CDG: Jacobian ratio Euler/advected at the src ref
+                    # coords (fill_T_fwd_sphere, :430-432).
+                    je = sqr.bilinear_jacobian_norm(
+                        m.corners[sci][..., None, :, :], sa, sb)
+                    ja = sqr.bilinear_jacobian_norm(
+                        src_v[..., None, :, :], sa, sb)
+                    d0 = d0 * (je / ja)
+                d0 = jnp.where(act[..., None], d0, 0.0)
+                tgi = self.gll.eval(ta)                    # (B, nq, np)
+                tgj = self.gll.eval(tb)
+                sgi = self.gll.eval(sa)
+                sgj = self.gll.eval(sb)
+                tphi = (tgj[..., :, None] * tgi[..., None, :]).reshape(
+                    ta.shape + (np2,))
+                sphi = (sgj[..., :, None] * sgi[..., None, :]).reshape(
+                    sa.shape + (np2,))
+                T = T + jnp.einsum('bq,bqa,bqc->bac', d0, tphi, sphi)
+                ps = ps + jnp.einsum('bq,bqc->bc', d0, sphi)
+            return T, ps
+
+        # Chunked map over pairs.
+        P = tgt_idx.shape[0]
+        C = self.config.pair_chunks
+        pad = (-P) % C
+        def pad_to(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        ti = pad_to(tgt_idx, 0).reshape(C, -1)
+        si = pad_to(src_idx, 0).reshape(C, -1)
+        pm = pad_to(pair_mask, False).reshape(C, -1)
+        Tc, psc = jax.lax.map(pair_fn, (ti, si, pm))
+        T = Tc.reshape(-1, np2, np2)[:P]
+        ps = psc.reshape(-1, np2)[:P]
+        return T, ps
+
+    def _fsmoftm(self, adv_cells):
+        """IR density factor: Eulerian / advected source basis integrals
+        per DGLL node (slmmir_remapper.cpp:751-757)."""
+        m = self.mesh
+        F_adv = cubed_sphere._dgbfi_sphere(
+            adv_cells, self.ird.tq_bary, self.ird.tq_w, m.np_
+        ).reshape(m.ncell, m.np2)
+        return self.F_sphere / F_adv
+
+    def _apply_T(self, T, pair_src, pair_tgt, pair_mask, x):
+        """y_tgt = sum over pairs with this target of T_pair @ x[src]
+        (batched over leading tracer dims of x: (..., ncell, np2))."""
+        xs = x[..., pair_src, :]                       # (..., P, np2)
+        xs = jnp.where(pair_mask[..., None], xs, 0.0)
+        contrib = jnp.einsum('pab,...pb->...pa', T, xs)
+        cm = jnp.moveaxis(contrib, -2, 0)              # (P, ..., np2)
+        y = jax.ops.segment_sum(cm, pair_tgt, num_segments=self.mesh.ncell)
+        return jnp.moveaxis(y, 0, -2)
+
+    def _mass_solve(self, y):
+        """Per-cell M^{-1} y via the precomputed Cholesky factors; batched
+        over leading dims of y (..., ncell, np2)."""
+        L = self.ird.chol
+        yy = jnp.moveaxis(y, -2, 0)  # (ncell, ..., np2)
+        sol = jax.vmap(
+            lambda Lc, yc: jax.scipy.linalg.cho_solve(
+                (Lc, True), yc.reshape(-1, yc.shape[-1]).T).T.reshape(
+                    yc.shape))(L, yy)
+        return jnp.moveaxis(sol, 0, -2)
+
+    def _solve_1eq_ls(self, y, c, d):
+        """Equality-constrained per-cell solve (FullMassMatrix::solve_1eq_ls,
+        slmmir_remap_data.cpp:78-116): minimize ||L^{-T}(...)|| s.t.
+        c' x = d, where M = L L'. y: (..., ncell, np2) RHS (= T src);
+        c: (ncell, np2) constraint vector (dgbfi_mass); d: (..., ncell)."""
+        L = self.ird.chol
+        lower = partial(jax.scipy.linalg.solve_triangular, lower=True)
+        s = jax.vmap(lambda Lc, cc: lower(Lc, cc))(L, c)      # L s = c
+        a1 = jax.vmap(
+            lambda Lc, yc: lower(Lc, yc.reshape(-1, yc.shape[-1]).T).T.reshape(
+                yc.shape))(L, jnp.moveaxis(y, -2, 0))
+        a2 = d - jnp.einsum('ti,...ti->...t', s, jnp.moveaxis(a1, 0, -2))
+        s2 = jnp.sum(s * s, axis=-1)
+        mu = a2 / s2
+        x1 = jnp.moveaxis(a1, 0, -2) + mu[..., None] * s
+        upperT = partial(jax.scipy.linalg.solve_triangular, lower=True,
+                         trans='T')
+        x = jax.vmap(
+            lambda Lc, xc: upperT(Lc, xc.reshape(-1, xc.shape[-1]).T).T.reshape(
+                xc.shape))(L, jnp.moveaxis(x1, -2, 0))
+        return jnp.moveaxis(x, 0, -2)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, rho, q, ts, tf):
+        cfg = self.config
+        m = self.mesh
+        adv_vert = timeint.integrate(
+            self.wind.velocity, ts, tf, self.ird.vert_xyz, cfg.nsub)
+        adv_cells = adv_vert[self.ird.cell2vert]
+        pair_src, pair_tgt, pair_mask = self._pairs(adv_cells)
+        T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
+
+        if cfg.method == "ir":
+            FsmoFtm = self._fsmoftm(adv_cells)
+        else:
+            FsmoFtm = jnp.ones_like(rho)
+
+        # Normalize p_s_ol columns to source shares (finish_p_s_ol,
+        # slmmir_remapper.cpp:170-205).
+        colsum = jax.ops.segment_sum(ps_raw, pair_src, num_segments=m.ncell)
+        cs = colsum[pair_src]
+        ps = ps_raw / jnp.where(cs == 0, 1.0, cs)
+
+        def project(x):
+            y = self._apply_T(T, pair_src, pair_tgt, pair_mask, x * FsmoFtm)
+            if cfg.dmc == "es":
+                # Local mass target = this cell's share of each source basis
+                # function's mass (remap_cell, slmmir_remap_data.cpp:340-357).
+                xs = x[..., pair_src, :]
+                xs = jnp.where(pair_mask[..., None], xs, 0.0)
+                dp = jnp.einsum('pi,pi,...pi->...p', ps,
+                                self.F_mass[pair_src], xs)
+                dpm = jnp.moveaxis(dp, -1, 0)
+                d = jnp.moveaxis(jax.ops.segment_sum(
+                    dpm, pair_tgt, num_segments=m.ncell), 0, -1)
+                return self._solve_1eq_ls(y, self.F_mass, d)
+            return self._mass_solve(y)
+
+        # Transport Q = rho * q (the driver passes mixing ratios; cell-
+        # integrated methods remap tracer masses, slmmir.cpp:1168-1176).
+        Q = q * rho[None]
+        rho_tgt = project(rho)
+        Q_tgt = project(Q)
+
+        if cfg.filter != "none":
+            # Density positivity (project_and_limit_cdr :583-603).
+            rho_tgt = limiter_mod.limit_density(
+                self.F_mass, rho_tgt, jnp.zeros(m.ncell))
+            # Per-target-cell q bounds over the T-graph source neighborhood,
+            # clamped to [0, 1] (MonoData::calc_q_min_max,
+            # slmmir_mono_data.cpp:107-128).
+            q_src = Q / jnp.where(rho == 0, 1.0, rho)[None]
+            qs_min = jnp.min(q_src, axis=-1)            # (nt, ncell)
+            qs_max = jnp.max(q_src, axis=-1)
+            pmin = jnp.where(pair_mask, qs_min[..., pair_src], jnp.inf)
+            pmax = jnp.where(pair_mask, qs_max[..., pair_src], -jnp.inf)
+            q_min = jnp.moveaxis(jax.ops.segment_min(
+                jnp.moveaxis(pmin, -1, 0), pair_tgt,
+                num_segments=m.ncell), 0, -1)
+            q_max = jnp.moveaxis(jax.ops.segment_max(
+                jnp.moveaxis(pmax, -1, 0), pair_tgt,
+                num_segments=m.ncell), 0, -1)
+            q_min = jnp.maximum(q_min, 0.0)
+            q_max = jnp.minimum(q_max, 1.0)
+            # Cells with no contributions (shouldn't happen): neutral bounds.
+            q_min = jnp.where(jnp.isfinite(q_min), q_min, 0.0)
+            q_max = jnp.where(jnp.isfinite(q_max), q_max, 1.0)
+
+            F = self.F_mass
+            rhom = F[None] * rho_tgt[None]
+            rho_mass = jnp.sum(F * rho_tgt, axis=-1)
+            Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
+            Qc_min = q_min * jnp.sum(rhom, axis=-1)
+            Qc_max = q_max * jnp.sum(rhom, axis=-1)
+            redist = self.mrd.redistribute(
+                rho_mass, Qc_min, Qc_mass, Qc_max,
+                jnp.zeros(Q.shape[0]))
+            delta = redist - Qc_mass
+            nt = Q.shape[0]
+            np2 = m.np2
+            qmin_n = jnp.broadcast_to(q_min[..., None],
+                                      (nt, m.ncell, np2))
+            qmax_n = jnp.broadcast_to(q_max[..., None],
+                                      (nt, m.ncell, np2))
+            lim = jax.vmap(
+                lambda Qi, qmin, qmax, di: limiter_mod.limit_tracer(
+                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter,
+                    expand_bounds_allowed=True))
+            Q_tgt = lim(Q_tgt, qmin_n, qmax_n, delta)
+
+        # DSS (plain, on rho and Q; slmmir.cpp:1335-1339 with
+        # mixing_ratio_input false for cell-integrated methods).
+        Ff = self.F_mass.reshape(-1)
+        rho_out = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
+                          m.cnn).reshape(m.ncell, m.np2)
+        Q_out = dss.dss(Q_tgt.reshape(Q.shape[0], -1), self.d2c_map, Ff,
+                        m.cnn).reshape(Q_tgt.shape)
+        q_out = Q_out / jnp.where(rho_out == 0, 1.0, rho_out)[None]
+        return rho_out, q_out
