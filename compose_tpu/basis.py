@@ -136,6 +136,83 @@ class GLL:
 # ----------------------------------------------------------------------------
 # Islet bases.
 
+# Modified quadrature weights for islet::GllOffsetNodal (data;
+# slmm_islet.hpp:55-70).
+_GLL_OFFSET_NODAL_W = {
+    2: [1.0, 1.0],
+    3: [1.0 / 3.0, 4.0 / 3.0, 1.0 / 3.0],
+    4: [1.6666666666666666e-01, 8.3333333333333337e-01,
+        8.3333333333333337e-01, 1.6666666666666666e-01],
+    5: [7.2438673929622860e-02, 6.0875420527532442e-01,
+        6.3761424159010549e-01, 6.0875420527532442e-01,
+        7.2438673929622860e-02],
+    6: [6.6666666666666624e-02, 3.7847495629784700e-01,
+        5.5485837703548646e-01, 5.5485837703548646e-01,
+        3.7847495629784700e-01, 6.6666666666666624e-02],
+    7: [5.6454983633034334e-02, 2.5552182504453469e-01,
+        4.5835116513528573e-01, 4.5934405237429038e-01,
+        4.5835116513528573e-01, 2.5552182504453469e-01,
+        5.6454983633034334e-02],
+    8: [4.3144193831569533e-02, 1.9497214769017937e-01,
+        3.5470956393990549e-01, 4.0717409453834563e-01,
+        4.0717409453834563e-01, 3.5470956393990549e-01,
+        1.9497214769017937e-01, 4.3144193831569533e-02],
+    9: [4.1812271854496312e-02, 1.3123902435694160e-01,
+        3.1866016571917827e-01, 2.9686582599803263e-01,
+        4.2284542414270215e-01, 2.9686582599803263e-01,
+        3.1866016571917827e-01, 1.3123902435694160e-01,
+        4.1812271854496312e-02],
+    10: [1.5509733280217758e-02, 1.4842357596604355e-01,
+         2.0911374516621034e-01, 3.0367249606634206e-01,
+         3.2328044952118629e-01, 3.2328044952118629e-01,
+         3.0367249606634206e-01, 2.0911374516621034e-01,
+         1.4842357596604355e-01, 1.5509733280217758e-02],
+    11: [1.4115415593113077e-02, 1.1746481483677482e-01,
+         1.8251645617210899e-01, 2.4597010811609454e-01,
+         2.9538296815410536e-01, 2.8910047425560659e-01,
+         2.9538296815410536e-01, 2.4597010811609454e-01,
+         1.8251645617210899e-01, 1.1746481483677482e-01,
+         1.4115415593113077e-02],
+    12: [9.2548354381213702e-03, 1.0539058985971034e-01,
+         1.4237539955323250e-01, 2.2648452767205887e-01,
+         2.4168148450452953e-01, 2.7481316297234754e-01,
+         2.7481316297234754e-01, 2.4168148450452953e-01,
+         2.2648452767205887e-01, 1.4237539955323250e-01,
+         1.0539058985971034e-01, 9.2548354381213702e-03],
+    13: [1.5986387115823793e-02, 7.1039463009726772e-02,
+         1.4100673941822789e-01, 1.8090611106261884e-01,
+         2.1922209886060423e-01, 2.4908449372434635e-01,
+         2.4550941361730400e-01, 2.4908449372434635e-01,
+         2.1922209886060423e-01, 1.8090611106261884e-01,
+         1.4100673941822789e-01, 7.1039463009726772e-02,
+         1.5986387115823793e-02],
+    16: [6.6054381853532362e-03, 5.4731980471730592e-02,
+         8.5313396530798766e-02, 1.2750075018473614e-01,
+         1.5206243160880162e-01, 1.7830331300698002e-01,
+         1.9354559587015541e-01, 2.0193709414144417e-01,
+         2.0193709414144417e-01, 1.9354559587015541e-01,
+         1.7830331300698002e-01, 1.5206243160880162e-01,
+         1.2750075018473614e-01, 8.5313396530798766e-02,
+         5.4731980471730592e-02, 6.6054381853532362e-03],
+}
+
+# Region specs for islet::GllOffsetNodal (slmm_islet.cpp:99-120): per
+# half-region i (region [x_i, x_{i+1}], x <= 0), a contiguous node window
+# (offset, subnp). subnp == np means the full Lagrange polynomial.
+_GLL_OFFSET_REGIONS = {
+    5: [(0, 3), (0, 4)],
+    6: [(0, 6), (0, 5)],
+    7: [(0, 5), (0, 5), (0, 6)],
+    8: [(0, 6), (0, 6), (0, 7), (1, 6)],
+    9: [(0, 7), (0, 8), (0, 7), (1, 7)],
+    10: [(0, 7), (0, 7), (0, 7), (0, 8), (1, 8)],
+    11: [(0, 8), (0, 9), (0, 8), (0, 9), (1, 8)],
+    12: [(0, 9), (0, 9), (0, 10), (0, 10), (1, 9), (1, 10)],
+    13: [(0, 10), (0, 10), (0, 10), (0, 10), (0, 11), (1, 10)],
+    16: [(0, 12), (0, 13), (0, 13), (0, 13), (0, 13), (0, 14), (1, 13),
+         (2, 12)],
+}
+
 # Modified quadrature weights for islet::GllNodal (data; slmm_islet.hpp:77-90).
 _GLL_NODAL_W = {
     2: [1.0, 1.0],
@@ -163,21 +240,18 @@ _GLL_NODAL_W = {
         3.6046050775536347e-02],
 }
 
-# Region-wise subsets for islet::GllNodal (slmm_islet.cpp:99-204). For np in
-# this table: per half-region i (region [x_i, x_{i+1}], x <= 0), the list of
-# node indices whose sub-Lagrange polynomial is used. np=4 is special-cased
-# (np4_subgrid_eval blend). Entries of the form (offset, subnp) come from
-# GllOffsetNodal; explicit lists from GllNodal.
+# Explicit (non-contiguous) node subsets for islet::GllNodal where it
+# differs from GllOffsetNodal (slmm_islet.cpp:178-204): np=6 and np=9.
 _GLL_NODAL_SUBSETS = {
-    2: [list(range(2))],
-    3: [list(range(3))],
-    5: [[0, 1, 2], [1, 2, 3]],   # GllOffsetNodal np5: subnp {3,4}? see below
     6: [[0, 1, 2, 3, 4], [0, 1, 2, 3, 5], [0, 1, 2, 3, 4, 5]],
     9: [[0, 1, 2, 3, 4, 5, 8], [0, 1, 2, 3, 4, 5, 7, 8],
         [0, 1, 2, 3, 4, 5, 6, 8], [1, 2, 3, 4, 5, 6, 7]],
 }
-# GllOffsetNodal np5 row (slmm_islet.cpp:106): subnp {3,4}, offsets {0,0}.
-_GLL_NODAL_SUBSETS[5] = [[0, 1, 2], [0, 1, 2, 3]]
+
+
+def _regions_to_subsets(np_):
+    return [list(range(os, os + sub))
+            for (os, sub) in _GLL_OFFSET_REGIONS[np_]]
 
 
 def _np4_subgrid_eval(xn, x):
@@ -200,9 +274,62 @@ def _np4_subgrid_eval(xn, x):
     return jnp.where((left | right)[..., None], yblend, y4)
 
 
-class IsletGllNodal(GLL):
-    """islet::GllNodal - GLL nodes, modified weights, stabilized region-wise
-    evaluation (slmm_islet.cpp). The default `-basis` in slmmir."""
+def _regionwise_eval(xn, subsets, x):
+    """Branch-free region-wise sub-Lagrange evaluation with left-half
+    symmetry (slmm_islet.cpp: islet::eval / evalon). xn: (np,) nodes;
+    subsets: per-region node index lists for the left-half regions."""
+    n = xn.shape[0]
+    # Evaluate on the mirrored coordinate xm = -|x| (regions are defined on
+    # the left half; symmetry maps the right half).
+    xm = -jnp.abs(x)
+    nreg = len(subsets)
+    vals = []
+    for nodes in subsets:
+        sub_x = xn[jnp.asarray(nodes)]
+        sub_v = _lagrange_eval(sub_x, xm)  # (..., len(nodes))
+        full = jnp.zeros(x.shape + (n,), x.dtype)
+        for j, node in enumerate(nodes):
+            full = full.at[..., node].set(sub_v[..., j])
+        vals.append(full)
+    vals = jnp.stack(vals, axis=-2)  # (..., nreg, np)
+    # Region of xm: smallest i with xm <= xn[i+1] (i in [0, nreg-1]).
+    r = jnp.searchsorted(xn[1:nreg], xm, side='left')
+    v = jnp.take_along_axis(vals, r[..., None, None], axis=-2)[..., 0, :]
+    # Mirror for x > 0.
+    return jnp.where((x > 0)[..., None], v[..., ::-1], v)
+
+
+class IsletGllOffsetNodal(GLL):
+    """islet::GllOffsetNodal - GLL nodes, modified weights, stabilized
+    region-wise evaluation with contiguous node windows (slmm_islet.cpp:
+    99-125)."""
+
+    name = "GllOffsetNodal"
+
+    def __init__(self, np_: int):
+        super().__init__(np_)
+        if np_ in _GLL_OFFSET_NODAL_W:
+            self.w = jnp.asarray(np.array(_GLL_OFFSET_NODAL_W[np_]))
+        else:
+            raise NotImplementedError(
+                f"islet GllOffsetNodal np={np_} not tabulated")
+
+    def _subsets(self):
+        return _regions_to_subsets(self.np)
+
+    def eval(self, x):
+        n = self.np
+        if n <= 3:
+            return _lagrange_eval(self.x, x)
+        if n == 4:
+            return _np4_subgrid_eval(self.x, x)
+        return _regionwise_eval(self.x, self._subsets(), x)
+
+
+class IsletGllNodal(IsletGllOffsetNodal):
+    """islet::GllNodal - like GllOffsetNodal but with free node subsets for
+    np in {6, 9} and its own weights (slmm_islet.cpp:127-209). The default
+    `-basis` in slmmir."""
 
     name = "GllNodal"
 
@@ -210,40 +337,11 @@ class IsletGllNodal(GLL):
         super().__init__(np_)
         if np_ in _GLL_NODAL_W:
             self.w = jnp.asarray(np.array(_GLL_NODAL_W[np_]))
-        elif np_ > 9:
-            raise NotImplementedError(
-                f"islet GllNodal np={np_} weights not yet tabulated")
 
-    def eval(self, x):
-        n = self.np
-        xn = self.x
-        if n <= 3:
-            return _lagrange_eval(xn, x)
-        if n == 4:
-            return _np4_subgrid_eval(xn, x)
-        subsets = _GLL_NODAL_SUBSETS.get(n)
-        if subsets is None:
-            raise NotImplementedError(f"islet GllNodal np={n} eval")
-        # Evaluate on the mirrored coordinate xm = -|x| (regions are defined
-        # on the left half; symmetry maps the right half; slmm_islet.cpp:
-        # islet::eval).
-        xm = -jnp.abs(x)
-        nreg = len(subsets)
-        vals = []
-        for nodes in subsets:
-            sub_x = xn[jnp.asarray(nodes)]
-            sub_v = _lagrange_eval(sub_x, xm)  # (..., len(nodes))
-            full = jnp.zeros(x.shape + (n,), x.dtype)
-            for j, node in enumerate(nodes):
-                full = full.at[..., node].set(sub_v[..., j])
-            vals.append(full)
-        vals = jnp.stack(vals, axis=-2)  # (..., nreg, np)
-        # Region of xm: smallest i with xm <= xn[i+1] (i in [0, nreg-1]).
-        r = jnp.searchsorted(xn[1:nreg], xm, side='left')
-        v = jnp.take_along_axis(
-            vals, r[..., None, None], axis=-2)[..., 0, :]
-        # Mirror for x > 0.
-        return jnp.where((x > 0)[..., None], v[..., ::-1], v)
+    def _subsets(self):
+        if self.np in _GLL_NODAL_SUBSETS:
+            return _GLL_NODAL_SUBSETS[self.np]
+        return _regions_to_subsets(self.np)
 
 
 _BASIS_REGISTRY = {
@@ -251,6 +349,8 @@ _BASIS_REGISTRY = {
     "Gll": GLL,
     "gllnodal": IsletGllNodal,
     "GllNodal": IsletGllNodal,
+    "glloffsetnodal": IsletGllOffsetNodal,
+    "GllOffsetNodal": IsletGllOffsetNodal,
 }
 
 

@@ -84,7 +84,8 @@ def init_tracers(mesh, ic_names):
 
 def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
-        basis="GllNodal", nsub=8, dmc="none", verbose=True):
+        basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
+        observer_out=None, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -119,6 +120,14 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     q_min0 = float(jnp.min(q[0]))
     q_max0 = float(jnp.max(q[0]))
 
+    from .diagnostics import LauritzenDiag, Observer
+    obs = None
+    if observer_out:
+        obs = Observer(F_gll, F_sph, ["rho"] + [f"{n}{i}" for i, n in
+                                                enumerate(ics)])
+        obs.add_obs(0.0, rho, list(q))
+    ldiag = LauritzenDiag(nsteps, ics, q, F_sph) if lauritzen else None
+
     t_start = time.time()
     for step in range(nsteps):
         ts = dt * step
@@ -132,8 +141,16 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         bl = max(0.0, q_min0 - float(jnp.min(q[0])))
         bh = max(0.0, float(jnp.max(q[0])) - q_max0)
         max_step_bounds_err = max(max_step_bounds_err, bl, bh)
+        if obs:
+            obs.add_obs(tf, rho, list(q))
+        if ldiag:
+            ldiag.run(step, q)
     jnp.asarray(rho).block_until_ready()
     et = (time.time() - t_start) / nsteps
+    if obs:
+        obs.dump(observer_out)
+    if ldiag and verbose:
+        ldiag.print_()
 
     # --- Final error norms (print_error, slmmir.cpp:355-412), tracer 0.
     fs = np.asarray(q0[0]).reshape(-1)
@@ -181,11 +198,15 @@ def main(argv=None):
                    choices=["mn2", "caas", "caags", "none"])
     p.add_argument("-basis", default="GllNodal")
     p.add_argument("-nsub", type=int, default=8)
+    p.add_argument("-lauritzen", action="store_true")
+    p.add_argument("-rit", dest="observer_out", default=None,
+                   help="record metrics in time to this JSON file")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
-        nsub=a.nsub, dmc=a.dmc)
+        nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
+        observer_out=a.observer_out)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,30 @@ def test_golden_pisl_caas_ne10():
 
 
 @pytest.mark.slow
+def test_golden_ir_ne10():
+    # slmm_runtests.py:188: ir np4 ne10 divergent gaussianhills ->
+    # l2 <= 1.02e-2, cv <= 8e-15.
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=("gaussianhills",),
+                     method="ir", filter_="none", limiter="none",
+                     verbose=False)
+    assert 0 < out.l2_err <= 1.02e-2
+    assert out.cv <= 8e-15
+
+
+@pytest.mark.slow
+def test_golden_ir_qlt_slotted():
+    # slmm_runtests.py:193-195: ir np4 ne10 + qlt -> l2 <= 3.0e-1,
+    # cv <= 3e-14, bounds [0.1, 1].
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=("slottedcylinders",),
+                     method="ir", filter_="qlt", limiter="mn2",
+                     verbose=False)
+    assert 0 < out.l2_err <= 3.0e-1
+    assert out.cv <= 3e-14
+    assert out.min_e >= 0.1 - 5e-13
+    assert out.max_e <= 1.0 + 5e-13
+
+
+@pytest.mark.slow
 def test_golden_tracer_consistency():
     # slmm_runtests.py:129-132: constant q with transported rho stays 0.42.
     # (The reference row uses -method isl with remapped rho; until the
