@@ -40,6 +40,11 @@ import os as _os
 _cache_dir = _os.environ.get(
     "COMPOSE_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
+# Partition the cache by platform: a TPU-tunnel session also caches CPU AOT
+# artifacts compiled for the REMOTE host's CPU; loading those locally trips
+# machine-feature mismatches.
+_cache_dir = _cache_dir + "-" + _os.environ.get("JAX_PLATFORMS", "default")\
+    .replace(",", "_")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

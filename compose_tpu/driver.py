@@ -85,7 +85,7 @@ def init_tracers(mesh, ic_names):
 def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
-        observer_out=None, verbose=True):
+        observer_out=None, check_midpoint=False, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -99,9 +99,12 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                        filter=filter_, limiter=limiter, nsub=nsub)
         model = IrTransport(mesh, wind, cfg)
     else:
-        cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
-                        limiter=limiter, rho_isl=(method == "pisl"),
-                        nsub=nsub)
+        # pislu = pisl with the natural (unstabilized GLL) interpolant
+        # (slmmir.hpp:112,137).
+        use_basis = "Gll" if method == "pislu" else basis
+        cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
+                        limiter=limiter,
+                        rho_isl=(method in ("pisl", "pislu")), nsub=nsub)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
@@ -120,6 +123,18 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     q_min0 = float(jnp.min(q[0]))
     q_max0 = float(jnp.max(q[0]))
 
+    # Terminator toy chemistry (SrcTermMgr, slmmir.cpp:512-648): when the
+    # toychem1/toychem2 pair is present, apply reaction tendencies to the
+    # mixing ratios before each transport step.
+    toychem_idx = None
+    low = [n.lower() for n in ics]
+    if "toychem1" in low:
+        i_cl = low.index("toychem1")
+        if "toychem2" in low:
+            toychem_idx = (i_cl, low.index("toychem2"))
+            tc_lat, tc_lon = sphere.xyz2ll(
+                mesh.cell_nodes_xyz.reshape(-1, 3))
+
     from .diagnostics import LauritzenDiag, Observer
     obs = None
     if observer_out:
@@ -132,6 +147,14 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     for step in range(nsteps):
         ts = dt * step
         tf = T if step == nsteps - 1 else ts + dt
+        if toychem_idx is not None:
+            i_cl, i_cl2 = toychem_idx
+            cl = q[i_cl].reshape(-1)
+            cl2 = q[i_cl2].reshape(-1)
+            cl_f, cl2_f = gallery.toychem_tendency(tc_lat, tc_lon, cl, cl2,
+                                                   dt)
+            q = q.at[i_cl].add((dt * cl_f).reshape(q[i_cl].shape))
+            q = q.at[i_cl2].add((dt * cl2_f).reshape(q[i_cl2].shape))
         rho, q = model.step(rho, q, ts, tf)
         # Observer-style per-step checks on tracer 0 (slmmir.cpp:921-958).
         mass = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
@@ -145,6 +168,22 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             obs.add_obs(tf, rho, list(q))
         if ldiag:
             ldiag.run(step, q)
+        if (check_midpoint and nsteps % 2 == 0
+                and step + 1 == nsteps // 2):
+            # Midpoint check (slmmir.cpp:1453-1501): compare against one
+            # giant pislu step (natural GLL interpolant, no filter) to T/2.
+            ref_cfg = IslConfig(ne=ne, np_=np_, basis="Gll", filter="none",
+                                limiter="none", rho_isl=True,
+                                nsub=max(32, nsub * (nsteps // 2)))
+            ref_model = IslTransport(mesh, wind, ref_cfg)
+            _, q_ref = ref_model.step(rho0, q0, 0.0, T / 2)
+            w = np.asarray(F_sph)
+            for i in range(q.shape[0]):
+                e = np.asarray(q[i] - q_ref[i]).reshape(-1)
+                f = np.asarray(q_ref[i]).reshape(-1)
+                l2 = np.sqrt((w * e * e).sum() / (w * f * f).sum())
+                if verbose:
+                    print(f"> mp tracer {i} re l2 {l2:9.3e}")
     jnp.asarray(rho).block_until_ready()
     et = (time.time() - t_start) / nsteps
     if obs:
@@ -193,12 +232,14 @@ def main(argv=None):
     p.add_argument("-nsteps", type=int, default=12)
     p.add_argument("-T", type=float, default=12.0)
     p.add_argument("-mono", dest="filter_", default="qlt",
-                   choices=["qlt", "caas", "mn2", "none"])
+                   choices=["qlt", "caas", "mn2", "caas-node", "none"])
     p.add_argument("-lim", dest="limiter", default="mn2",
                    choices=["mn2", "caas", "caags", "none"])
     p.add_argument("-basis", default="GllNodal")
     p.add_argument("-nsub", type=int, default=8)
     p.add_argument("-lauritzen", action="store_true")
+    p.add_argument("-midpoint-check", dest="check_midpoint",
+                   action="store_true")
     p.add_argument("-rit", dest="observer_out", default=None,
                    help="record metrics in time to this JSON file")
     a = p.parse_args(argv)
@@ -206,7 +247,7 @@ def main(argv=None):
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
-        observer_out=a.observer_out)
+        observer_out=a.observer_out, check_midpoint=a.check_midpoint)
 
 
 if __name__ == "__main__":

@@ -227,6 +227,36 @@ def _dgbfi_sphere(corners, bary, qw, np_):
 
 
 @partial(jax.jit, static_argnames=("ne",))
+def get_cell_coords(ne: int, p):
+    """Point location with local coordinates: returns (cell_idx, a0, b0)
+    where (a0, b0) is the closed-form equiangular estimate of the in-cell
+    reference coordinates - an O(h^2)-accurate warm start for the bilinear
+    Newton inverse (sqr.sphere_to_ref)."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    face = jnp.where(
+        ax >= ay,
+        jnp.where(ax >= az, jnp.where(x > 0, 1, 3), jnp.where(z > 0, 4, 5)),
+        jnp.where(ay >= az, jnp.where(y > 0, 2, 0), jnp.where(z > 0, 4, 5)))
+    dmap = jnp.stack([ay, ax, ay, ax, az, az], axis=-1)
+    d = jnp.take_along_axis(dmap, face[..., None], axis=-1)[..., 0]
+    fx = jnp.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [x / d, y / d, -x / d, -y / d, x / d], -x / d)
+    fy = jnp.where(face >= 4, y / d, z / d)
+    fx = jnp.arctan(fx) / _QUARTER_PI
+    fy = jnp.arctan(fy) / _QUARTER_PI
+    gx = 0.5 * (1 + fx) * ne
+    gy = 0.5 * (1 + fy) * ne
+    ix = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, ne - 1)
+    iy = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, ne - 1)
+    ci = (ne * ne * face + ne * iy + ix).astype(jnp.int32)
+    a0 = 2.0 * (gx - ix) - 1.0
+    b0 = 2.0 * (gy - iy) - 1.0
+    return ci, a0, b0
+
+
+@partial(jax.jit, static_argnames=("ne",))
 def get_cell_idx(ne: int, p):
     """O(1) point -> cell id on the quasiuniform equiangular mesh
     (slmm_mesh.cpp:751-806). `p` is (..., 3) on (or near) the unit sphere."""

@@ -98,19 +98,23 @@ def _solve_Jxr(sa, sb, r):
 
 
 @partial(jax.jit, static_argnames=("max_its", "tol"))
-def sphere_to_ref(corners, q, max_its: int = 10, tol: float = None):
+def sphere_to_ref(corners, q, max_its: int = 10, tol: float = None,
+                  a0=None, b0=None):
     """Invert ref_to_sphere by Newton iteration; batched over leading dims.
 
     Returns (a, b). `q` must be on (or very near) the unit sphere; callers
     should normalize first (the reference does the same for speed,
-    slmmir_remapper_isl.cpp:1107-1110).
+    slmmir_remapper_isl.cpp:1107-1110). Passing a warm start (a0, b0)
+    (e.g. the closed-form equiangular estimate on the quasiuniform mesh)
+    lets callers cut max_its to ~4 - Newton is quadratic from an O(h^2)
+    guess.
     """
     if tol is None:
         tol = 1e2 * jnp.finfo(jnp.float64).eps
     tol2 = tol * tol
 
-    a = jnp.zeros(q.shape[:-1], q.dtype)
-    b = jnp.zeros(q.shape[:-1], q.dtype)
+    a = jnp.zeros(q.shape[:-1], q.dtype) if a0 is None else a0
+    b = jnp.zeros(q.shape[:-1], q.dtype) if b0 is None else b0
 
     # Fixed-trip masked Newton: every lane runs max_its cheap iterations;
     # lanes that have converged stop updating via the mask. No data-dependent

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .. import basis as basis_mod
 from ..mesh import cubed_sphere
-from ..ops import sphere, sqr
+from ..ops import local_qp, sphere, sqr
 from ..ops.reduce import bfb_sum
 from . import dss, limiter as limiter_mod, spf, timeint
 
@@ -64,7 +64,7 @@ class IslTransport:
         self.deriv_at_nodes = self.gll.eval_deriv(self.gll.x)  # (node, bf)
         self.F = mesh.dgbfi_gll  # -dmc f: Homme mass definition
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
-        if config.filter != "none":
+        if config.filter not in ("none", "caas-node"):
             self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
         else:
             self.mrd = None
@@ -84,8 +84,10 @@ class IslTransport:
         m = self.mesh
         dep = timeint.integrate(self.wind.velocity, tf, ts, m.cgll_xyz,
                                 self.config.nsub)
-        ci = cubed_sphere.get_cell_idx(m.ne, dep)
-        a, b = sqr.sphere_to_ref(m.corners[ci], dep)
+        # Warm-started Newton: the closed-form equiangular estimate is
+        # O(h^2)-accurate, so 4 quadratic iterations reach ~1e-15.
+        ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep)
+        a, b = sqr.sphere_to_ref(m.corners[ci], dep, max_its=4, a0=a0, b0=b0)
         va = self.basis.eval(a)          # (cnn, np)
         vb = self.basis.eval(b)
         w = (vb[:, :, None] * va[:, None, :]).reshape(m.cnn, m.np2)
@@ -149,7 +151,15 @@ class IslTransport:
 
         # --- CDR for rho (isl_cdr_rho, slmmir_remapper_isl.cpp:1240-1289).
         Ff = F.reshape(-1)
-        if cfg.rho_isl:
+        if cfg.rho_isl and cfg.filter == "caas-node":
+            # Global-only nodal filter: uniform mass restoration
+            # (glbl_only_pve, slmmir_remapper_isl.cpp:366-387).
+            mass_src = bfb_sum(Ff * rho.reshape(-1))
+            mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
+            rho_tgt = rho_tgt + (mass_src - mass_tgt) / bfb_sum(Ff)
+            rho_tgt = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
+                              m.cnn).reshape(m.ncell, m.np2)
+        elif cfg.rho_isl:
             mass_src = bfb_sum(Ff * rho.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
             # Bounds [0, 2] on cell-mean density (reference record(ti,0,2,..)).
@@ -177,6 +187,27 @@ class IslTransport:
         node_src_cell = ci[self.d2c_map].reshape(m.ncell, m.np2)
         q_min_node = q_min_cell[:, node_src_cell]            # (nt, ncell, np2)
         q_max_node = q_max_cell[:, node_src_cell]
+
+        if cfg.filter == "caas-node":
+            # Global-only node-granularity CAAS (glbl_only_lcldyn,
+            # slmmir_remapper_isl.cpp:389-445): clip every node's tracer
+            # mass to its source bounds, then distribute the global mass
+            # discrepancy proportionally to remaining nodal headroom.
+            nt_ = q.shape[0]
+            lo = (q_min_node * rho_tgt[None]).reshape(nt_, -1)
+            hi = (q_max_node * rho_tgt[None]).reshape(nt_, -1)
+            aF = jnp.broadcast_to(Ff[None], lo.shape)
+            Qf = local_qp.caas(aF, Q_mass_src, lo, hi,
+                               Q_tgt.reshape(nt_, -1))
+            Q_tgt = Qf.reshape(Q_tgt.shape)
+            rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
+                              Q_tgt / rho_safe[None])
+            q_new = jnp.clip(q_new, q_min_node, q_max_node)
+            q_out = dss.dss_q(rho_tgt.reshape(-1),
+                              q_new.reshape(nt_, -1), self.d2c_map, Ff,
+                              m.cnn).reshape(q_new.shape)
+            return rho_tgt, q_out
 
         # Per-cell records (nt-batched).
         rhom = F[None] * rho_tgt[None]

@@ -48,6 +48,15 @@ def test_golden_pisl_caas_ne10():
 
 
 @pytest.mark.slow
+def test_golden_pisl_qlt_np6():
+    # slmm_runtests.py:117-118: pisl np6 ne6 mono=qlt -> l2 <= 3.34e-1
+    # (exercises the islet GllNodal np=6 free-node-subset basis).
+    out = driver.run(ne=6, np_=6, nsteps=12, ics=ICS, filter_="qlt",
+                     limiter="mn2", verbose=False)
+    check(out, 3.34e-1)
+
+
+@pytest.mark.slow
 def test_golden_ir_ne10():
     # slmm_runtests.py:188: ir np4 ne10 divergent gaussianhills ->
     # l2 <= 1.02e-2, cv <= 8e-15.
