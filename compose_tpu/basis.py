@@ -76,8 +76,9 @@ def lagrange_eval_np(xnodes, x):
 
 
 def _lagrange_eval(xnodes, x):
-    """JAX Lagrange basis eval, exact at nodes: x (...,) -> (..., m)."""
-    xn = jnp.asarray(xnodes)
+    """JAX Lagrange basis eval, exact at nodes: x (...,) -> (..., m).
+    Computes in x's dtype (f32 geometry pipelines stay f32)."""
+    xn = jnp.asarray(xnodes).astype(jnp.asarray(x).dtype)
     m = xn.shape[0]
     d = x[..., None] - xn  # (..., m)
     v = []

@@ -85,7 +85,8 @@ def init_tracers(mesh, ic_names):
 def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
-        observer_out=None, check_midpoint=False, verbose=True):
+        observer_out=None, check_midpoint=False, geom_dtype="f64",
+        verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -104,7 +105,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         use_basis = "Gll" if method == "pislu" else basis
         cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
                         limiter=limiter,
-                        rho_isl=(method in ("pisl", "pislu")), nsub=nsub)
+                        rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
+                        geom_dtype=geom_dtype)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
@@ -237,6 +239,10 @@ def main(argv=None):
                    choices=["mn2", "caas", "caags", "none"])
     p.add_argument("-basis", default="GllNodal")
     p.add_argument("-nsub", type=int, default=8)
+    p.add_argument("-geom", dest="geom_dtype", default="f64",
+                   choices=["f64", "f32"],
+                   help="precision of the geometric pipeline (f32 = fast "
+                        "path; mass/bounds invariants stay f64)")
     p.add_argument("-lauritzen", action="store_true")
     p.add_argument("-midpoint-check", dest="check_midpoint",
                    action="store_true")
@@ -247,7 +253,8 @@ def main(argv=None):
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
-        observer_out=a.observer_out, check_midpoint=a.check_midpoint)
+        observer_out=a.observer_out, check_midpoint=a.check_midpoint,
+        geom_dtype=a.geom_dtype)
 
 
 if __name__ == "__main__":

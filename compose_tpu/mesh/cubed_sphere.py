@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from .. import basis as basis_mod
 from ..ops import quadrature, sphere, sqr
 
-_QUARTER_PI = 0.25 * np.pi
+# Python float (not np.float64): numpy scalars are strongly typed in jax and
+# would silently promote float32 geometry pipelines back to f64.
+_QUARTER_PI = float(0.25 * np.pi)
 
 
 def _face_point(face, X, Y):

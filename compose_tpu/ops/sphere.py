@@ -83,7 +83,7 @@ def tri_jacobian(v1, v2, v3, bary):
     q = (bary[..., 0:1] * v1 + bary[..., 1:2] * v2 + bary[..., 2:3] * v3)
     # Guard for degenerate (near-origin) flat points so masked lanes stay
     # NaN-free; real triangles on the unit sphere have |q| = O(1).
-    r2 = jnp.maximum(norm2(q)[..., None], 1e-300)
+    r2 = jnp.maximum(norm2(q)[..., None], jnp.finfo(q.dtype).tiny)
     r = jnp.sqrt(r2)
     sphere_p = q / r
     # d(q/|q|)/dq applied to edge vectors e1 = v1-v3, e2 = v2-v3:

@@ -71,7 +71,7 @@ def _sphere_jacobian(corners, a, b):
     sb = jnp.einsum('...i,...id->...d', Nb, corners)
     # Guard: a folded (degenerate) quad's bilinear map can pass through the
     # origin; keep the masked Newton NaN-free for such lanes.
-    r2 = jnp.maximum(sphere.norm2(s)[..., None], 1e-300)
+    r2 = jnp.maximum(sphere.norm2(s)[..., None], jnp.finfo(s.dtype).tiny)
     r = jnp.sqrt(r2)
     sa = (sa - s * (sphere.dot(s, sa)[..., None] / r2)) / r
     sb = (sb - s * (sphere.dot(s, sb)[..., None] / r2)) / r
@@ -83,7 +83,7 @@ def _solve_Jxr(sa, sb, r):
     3-vector columns (slmmir_remapper_isl.cpp:47-65). Degenerate Jacobians
     (folded/collapsed quads under extreme deformation) are guarded so the
     masked Newton loop stays NaN-free - those lanes simply stop moving."""
-    tiny = 1e-300
+    tiny = jnp.finfo(sa.dtype).tiny
     n1 = jnp.maximum(sphere.norm(sa), tiny)
     q1 = sa / n1[..., None]
     alpha = sphere.dot(q1, sb)

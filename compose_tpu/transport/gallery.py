@@ -29,7 +29,7 @@ def _uv2xyz(p, u, v):
     # xyz2ll's atan2(0,0)=0, so u,v evaluated at lon=0 give the correct
     # limiting cartesian vector for smooth fields).
     den = jnp.sqrt(X * X + Y * Y)
-    polar = den < 1e-300
+    polar = den < jnp.finfo(den.dtype).tiny
     den_s = jnp.where(polar, 1.0, den)
     e_e = jnp.stack([jnp.where(polar, 0.0, -Y / den_s),
                      jnp.where(polar, 1.0, X / den_s),

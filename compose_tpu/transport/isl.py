@@ -45,6 +45,14 @@ class IslConfig:
     rho_isl: bool = True         # pisl: transport rho by ISL too
     nsub: int = 8                # trajectory substeps per transport step
     positive_only: bool = False  # -mono *-pve: nonnegativity only
+    # Precision of the geometric pipeline (trajectories, point location,
+    # Newton inverse map, basis weights). f64 emulation dominates TPU step
+    # time; 'f32' runs geometry natively (~7x faster) while every
+    # mass-critical stage (interp values, CDR, limiter, DSS, reductions)
+    # stays f64, so conservation/bounds invariants are unchanged and only
+    # O(1e-7) interpolation-weight noise enters the (1e-2-scale) solution
+    # error. 'f64' reproduces the reference tolerances everywhere.
+    geom_dtype: str = "f64"
 
 
 class IslTransport:
@@ -82,15 +90,27 @@ class IslTransport:
     # ------------------------------------------------------------------
     def _departure_data(self, ts, tf):
         m = self.mesh
-        dep = timeint.integrate(self.wind.velocity, tf, ts, m.cgll_xyz,
+        f32 = self.config.geom_dtype == "f32"
+        nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz
+        dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
                                 self.config.nsub)
         # Warm-started Newton: the closed-form equiangular estimate is
-        # O(h^2)-accurate, so 4 quadratic iterations reach ~1e-15.
+        # O(h^2)-accurate, so a few quadratic iterations reach precision.
         ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep)
-        a, b = sqr.sphere_to_ref(m.corners[ci], dep, max_its=4, a0=a0, b0=b0)
+        corners = m.corners[ci]
+        if f32:
+            corners = corners.astype(jnp.float32)
+            tol = 1e1 * float(jnp.finfo(jnp.float32).eps)
+            a, b = sqr.sphere_to_ref(corners, dep, max_its=3, tol=tol,
+                                     a0=a0, b0=b0)
+        else:
+            a, b = sqr.sphere_to_ref(corners, dep, max_its=4, a0=a0, b0=b0)
         va = self.basis.eval(a)          # (cnn, np)
         vb = self.basis.eval(b)
         w = (vb[:, :, None] * va[:, None, :]).reshape(m.cnn, m.np2)
+        if f32:
+            dep = dep.astype(jnp.float64)
+            w = w.astype(jnp.float64)
         return dep, ci, w
 
     def _interp(self, field, ci, w):

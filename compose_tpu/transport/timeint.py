@@ -42,15 +42,19 @@ _B5 = (35.0 / 384, 0.0, 500.0 / 1113, 125.0 / 192, -2187.0 / 6784,
 
 def _dopri5_step(velocity, t0, dt, p):
     ks = []
+    # Times are evaluated in the position dtype so an f32 geometry pipeline
+    # is not promoted back to f64 through the wind-field formulas (time
+    # resolution at f32 is ~0.1 s against ~1e6 s flow periods).
+    dtl = jnp.asarray(dt, p.dtype)
     for i in range(7):
         pi = p
         for j, a in enumerate(_A[i]):
-            pi = pi + (dt * a) * ks[j]
-        ks.append(velocity(t0 + _C[i] * dt, pi))
+            pi = pi + (dtl * a) * ks[j]
+        ks.append(velocity(jnp.asarray(t0 + _C[i] * dt, p.dtype), pi))
     out = p
     for b, k in zip(_B5, ks):
         if b != 0.0:
-            out = out + (dt * b) * k
+            out = out + (dtl * b) * k
     return out
 
 
