@@ -1,0 +1,182 @@
+"""Offline Islet basis derivation / verification tools.
+
+Counterpart of /root/reference/methods/islet/: the research programs that
+DERIVE the stabilized interpolation bases used by the transport core.
+Covered here:
+
+  - `isl_op`: assemble the 1-D periodic semi-Lagrangian advection operator
+    for a nodal basis (the reference's 1-D ISL, methods/islet/islet_isl.cpp);
+  - `MaxEigComputer.max_eig_amp`: max |eigenvalue| of the operator over a
+    sweep of Courant offsets - the stability metric lambda_max
+    (islet_maxeigcomp.{hpp,cpp}); batched through the native C++/LAPACK
+    module (native/islet_native.cpp, built on demand, ctypes-loaded), with
+    a numpy fallback;
+  - `pum_metric`: lambda_max over randomly perturbed meshes
+    (PerturbedUniformMeshMetric, islet_pum.{hpp,cpp});
+  - accuracy metrics a_j / Lebesgue constant (islet_xnodes_metrics.{hpp,cpp}).
+
+These run offline on the host (numpy; eigensolves in native threads) - the
+same division of labor as the reference, where the search tools are CPU
+programs whose OUTPUT (node subsets + weights) is baked into the transport
+core (compose_tpu/basis.py).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from . import basis as basis_mod
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_HERE, "native", "islet_native.cpp")
+_LIB = os.path.join(_HERE, "native", "build", "libislet_native.so")
+
+_native = None
+
+
+def _load_native():
+    """Build (if needed) and ctypes-load the native eigensolver."""
+    global _native
+    if _native is not None:
+        return _native
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+        lapack = "-llapack"
+        if not os.path.exists("/usr/lib/x86_64-linux-gnu/liblapack.so"):
+            lapack = "-l:liblapack.so.3"
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+               "-o", _LIB, lapack, "-pthread"]
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB)
+    lib.islet_spectral_radius.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.islet_spectral_radius.restype = None
+    _native = lib
+    return lib
+
+
+def spectral_radius(mats, nthreads: int = 0):
+    """Batched spectral radius of dense matrices (n_mats, n, n).
+
+    Native C++/LAPACK threads when available; numpy fallback otherwise.
+    """
+    mats = np.ascontiguousarray(mats, dtype=np.float64)
+    if mats.ndim == 2:
+        mats = mats[None]
+    n_mats, n, n2 = mats.shape
+    assert n == n2
+    try:
+        lib = _load_native()
+    except Exception:
+        return np.array([np.max(np.abs(np.linalg.eigvals(m))) for m in mats])
+    out = np.empty(n_mats, dtype=np.float64)
+    lib.islet_spectral_radius(
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_mats, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nthreads)
+    if np.any(out < 0):  # LAPACK failure: fall back per matrix
+        for i in np.nonzero(out < 0)[0]:
+            out[i] = np.max(np.abs(np.linalg.eigvals(mats[i])))
+    return out
+
+
+# ----------------------------------------------------------------------------
+# 1-D periodic ISL operator.
+
+def isl_op(basis, ne: int, dx: float, mesh_x=None):
+    """Assemble the 1-D periodic ISL advection operator A for `basis` on a
+    mesh of `ne` cells covering [0, ne] (cell width 1 unless `mesh_x` gives
+    explicit cell boundaries, len ne+1, for perturbed-mesh studies).
+
+    dx is the advection displacement per step in mesh units (the Courant
+    number). Unique nodes only (shared endpoints identified; N = ne*(np-1)).
+    A[i, j] = basis_j evaluated at the departure point of node i.
+    """
+    np_ = basis.np
+    xn = np.asarray(basis.x)  # in [-1, 1]
+    if mesh_x is None:
+        mesh_x = np.arange(ne + 1, dtype=np.float64)
+    mesh_x = np.asarray(mesh_x, dtype=np.float64)
+    L = mesh_x[-1] - mesh_x[0]
+    width = np.diff(mesh_x)
+
+    # Unique node coordinates: per cell, nodes 0..np-2 (last node == first of
+    # the next cell); global index of (cell c, local k) = c*(np-1)+k mod N.
+    N = ne * (np_ - 1)
+    coords = np.empty(N)
+    for c in range(ne):
+        xl = mesh_x[c]
+        coords[c * (np_ - 1):(c + 1) * (np_ - 1)] = (
+            xl + (xn[:-1] + 1) * 0.5 * width[c])
+
+    import jax.numpy as jnp
+    A = np.zeros((N, N))
+    dep = coords - dx
+    dep = mesh_x[0] + np.mod(dep - mesh_x[0], L)
+    cell = np.clip(np.searchsorted(mesh_x, dep, side="right") - 1, 0, ne - 1)
+    a = 2 * (dep - mesh_x[cell]) / width[cell] - 1
+    vals = np.asarray(basis.eval(jnp.asarray(a)))  # (N, np)
+    for i in range(N):
+        c = cell[i]
+        for k in range(np_):
+            j = (c * (np_ - 1) + k) % N
+            A[i, j] += vals[i, k]
+    return A
+
+
+class MaxEigComputer:
+    """Stability analysis: lambda_max over a Courant sweep
+    (islet_maxeigcomp.hpp:13-41)."""
+
+    def __init__(self, basis):
+        self.basis = basis
+
+    def max_eig_amp(self, ne: int, ndx: int = 64, mesh_x=None):
+        """Max |eig| of the ISL operator over ndx Courant offsets in (0, 1)
+        (integer parts are exact shifts and don't affect stability)."""
+        dxs = (np.arange(ndx) + 0.5) / ndx
+        mats = np.stack([isl_op(self.basis, ne, dx, mesh_x) for dx in dxs])
+        return float(np.max(spectral_radius(mats)))
+
+
+def pum_metric(basis, ne: int = 6, n_mesh: int = 8, ndx: int = 16,
+               perturb: float = 0.25, seed: int = 0):
+    """Perturbed-uniform-mesh stability metric lambda_max^PUM
+    (islet_pum.{hpp,cpp}): max |eig| over randomly perturbed meshes x
+    Courant offsets."""
+    rng = np.random.default_rng(seed)
+    worst = 0.0
+    mec = MaxEigComputer(basis)
+    for _ in range(n_mesh):
+        x = np.arange(ne + 1, dtype=np.float64)
+        x[1:-1] += perturb * (2 * rng.random(ne - 1) - 1)
+        worst = max(worst, mec.max_eig_amp(ne, ndx, mesh_x=x))
+    return worst
+
+
+# ----------------------------------------------------------------------------
+# Node-set accuracy metrics (islet_xnodes_metrics.{hpp,cpp}).
+
+def lebesgue_constant(basis, nsamp: int = 1001):
+    """Max over [-1,1] of sum_i |phi_i(x)|."""
+    import jax.numpy as jnp
+    xs = jnp.linspace(-1.0, 1.0, nsamp)
+    v = np.asarray(basis.eval(xs))
+    return float(np.max(np.sum(np.abs(v), axis=-1)))
+
+
+def interp_error_metric(basis, degree: int = None, nsamp: int = 501):
+    """a_inf-style metric: worst-case interpolation error of sin(pi x)
+    relative to its best approximation scale - a simple accuracy proxy for
+    ranking node sets (the reference's a_1/a_2/a_inf metrics)."""
+    import jax.numpy as jnp
+    xs = jnp.linspace(-1.0, 1.0, nsamp)
+    v = np.asarray(basis.eval(xs))
+    xn = np.asarray(basis.x)
+    f = np.sin(np.pi * np.asarray(xs))
+    fn = np.sin(np.pi * xn)
+    return float(np.max(np.abs(v @ fn - f)))

@@ -1,0 +1,68 @@
+"""Offline islet-tool tests, mirroring the reference's headline results:
+  - classical (unstabilized GLL) ISL is UNSTABLE for some (mesh, Courant)
+    (methods/islet/cslunstab.cpp: the self-contained instability demo);
+  - the Islet GllNodal bases are stable: lambda_max <= 1 + tiny over the
+    Courant sweep (methods/islet/islet_maxeigcomp + readme.txt).
+"""
+
+import numpy as np
+import pytest
+
+from compose_tpu import basis as basis_mod
+from compose_tpu import islet_tools
+
+
+def test_native_spectral_radius_matches_numpy():
+    rng = np.random.default_rng(0)
+    mats = rng.standard_normal((8, 12, 12))
+    got = islet_tools.spectral_radius(mats)
+    ref = np.array([np.max(np.abs(np.linalg.eigvals(m))) for m in mats])
+    assert np.allclose(got, ref, rtol=1e-10)
+
+
+def test_isl_op_is_stochastic():
+    # Rows sum to 1 (partition of unity at any departure point).
+    b = basis_mod.create("GllNodal", 4)
+    A = islet_tools.isl_op(b, 5, 0.37)
+    assert np.allclose(A.sum(axis=1), 1.0, atol=1e-12)
+    # Integer shift = exact permutation.
+    A1 = islet_tools.isl_op(b, 5, 1.0)
+    assert np.allclose(np.sort(np.abs(A1).sum(axis=1)), 1.0, atol=1e-12)
+    assert np.allclose((A1 > 0.5).sum(axis=1), 1)
+
+
+def test_gll_np4_unstable_islet_np4_stable():
+    ne = 7
+    gll = basis_mod.GLL(4)
+    islet = basis_mod.create("GllNodal", 4)
+    mec_gll = islet_tools.MaxEigComputer(gll)
+    mec_islet = islet_tools.MaxEigComputer(islet)
+    lam_gll = mec_gll.max_eig_amp(ne, ndx=48)
+    lam_islet = mec_islet.max_eig_amp(ne, ndx=48)
+    # The reference's core result (cslunstab.cpp; islet paper): natural GLL
+    # interpolation ISL amplifies; the islet basis does not.
+    assert lam_gll > 1 + 1e-4, lam_gll
+    assert lam_islet <= 1 + 1e-10, lam_islet
+
+
+@pytest.mark.slow
+def test_islet_np6_np8_stable():
+    for np_ in (6, 8):
+        b = basis_mod.create("GllNodal", np_)
+        lam = islet_tools.MaxEigComputer(b).max_eig_amp(5, ndx=32)
+        assert lam <= 1 + 1e-9, (np_, lam)
+
+
+def test_lebesgue_and_accuracy_metrics():
+    g4 = basis_mod.GLL(4)
+    i4 = basis_mod.create("GllNodal", 4)
+    # Islet np4 trades a bit of accuracy for stability; both metrics finite
+    # and ordered sensibly.
+    assert islet_tools.lebesgue_constant(g4) < islet_tools.lebesgue_constant(
+        i4) + 1.0
+    # sin(pi x) is marginally resolved at np=4; both metrics finite with the
+    # islet basis no worse than ~the GLL one.
+    e_islet = islet_tools.interp_error_metric(i4)
+    e_gll = islet_tools.interp_error_metric(g4)
+    assert e_islet < 0.5 and e_gll < 0.5
+    assert e_islet < 2 * e_gll
