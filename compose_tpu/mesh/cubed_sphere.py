@@ -89,6 +89,10 @@ class CubedSphereMesh:
     dgll2cgll: jnp.ndarray        # (ncell, np*np) int32 -> continuous node id
     cgll_xyz: jnp.ndarray         # (cnn, 3) canonical node coordinates
     cgll_rep: jnp.ndarray         # (cnn,) int32: a representative dgll index
+    # Inverse map: the (<= 4) DGLL slots coinciding at each continuous node,
+    # padded (gather-based DSS: TPU scatters are slow, gathers are not).
+    c2d_idx: jnp.ndarray          # (cnn, 4) int32
+    c2d_mask: jnp.ndarray         # (cnn, 4) bool
     jac_node: jnp.ndarray         # (ncell, np*np) corner-bilinear |J| at nodes
     dgbfi_gll: jnp.ndarray        # (ncell, np*np) Homme mass weights
     dgbfi_sphere: jnp.ndarray     # (ncell, np*np) spherical basis integrals
@@ -172,6 +176,22 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
     cgll_rep = first_idx.astype(np.int32)
     cgll_xyz = nodes.reshape(ncell * np2, 3)[first_idx]
 
+    # Inverse (continuous -> coincident DGLL slots) map, padded to 4 (the
+    # max multiplicity on a cubed sphere: face-interior 1, edges 2,
+    # vertices 4; cube corners 3).
+    order = np.argsort(inverse, kind="stable")
+    counts = np.bincount(inverse, minlength=cnn)
+    assert counts.max() <= 4
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    c2d_idx = np.zeros((cnn, 4), np.int32)
+    c2d_mask = np.zeros((cnn, 4), bool)
+    for k in range(4):
+        sel = counts > k
+        c2d_idx[sel, k] = order[starts[sel] + k]
+        c2d_mask[sel, k] = True
+    c2d_idx[~c2d_mask] = np.repeat(c2d_idx[:, 0], 4).reshape(cnn, 4)[
+        ~c2d_mask]
+
     # --- Corner-bilinear Jacobians at nodes (slmmir_util.cpp:26-41).
     jcorners = jnp.asarray(corners)
     aa = jnp.asarray(A.ravel())
@@ -203,6 +223,8 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         dgll2cgll=jnp.asarray(dgll2cgll),
         cgll_xyz=jnp.asarray(cgll_xyz),
         cgll_rep=jnp.asarray(cgll_rep),
+        c2d_idx=jnp.asarray(c2d_idx),
+        c2d_mask=jnp.asarray(c2d_mask),
         jac_node=jnp.asarray(jac_node),
         dgbfi_gll=jnp.asarray(dgbfi_gll),
         dgbfi_sphere=jnp.asarray(dgbfi_sphere),

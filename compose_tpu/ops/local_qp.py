@@ -19,6 +19,7 @@ Problem solved (Bochev-Ridzal-Shashkov / Guba et al. JCP 2014):
     min_x sum_i w_i (x_i - y_i)^2   s.t.  a'x = b,  xlo <= x <= xhi
 """
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 2.220446049250313e-16
@@ -92,12 +93,20 @@ def solve_1eq_bc_qp(w, a, b, xlo, xhi, y, max_its: int = 50):
     aq = a * q
 
     done0 = corner_done | y_done
-    state = (lam0, lamlo0, lamhi0, y.astype(jnp.result_type(y, w)),
-             done0, jnp.zeros_like(b, dtype=bool))
+    state0 = (jnp.asarray(0), lam0, lamlo0, lamhi0,
+              y.astype(jnp.result_type(y, w)), done0,
+              jnp.zeros_like(b, dtype=bool))
 
-    x_newton = y
-    for _ in range(max_its):
-        lam, lamlo, lamhi, x_newton, done, prev_bisect = state
+    # Early-exit batched Newton-bisection: iterate while ANY lane is
+    # unconverged, up to max_its (the reference exits per-scalar; the batch
+    # exits when the slowest lane does - typically ~10 iterations, far under
+    # the safety cap).
+    def cond(state):
+        it, _, _, _, _, done, _ = state
+        return (it < max_its) & ~jnp.all(done)
+
+    def body(state):
+        it, lam, lamlo, lamhi, x_newton, done, prev_bisect = state
         x_trial = y + lam[..., None] * q
         inside = (x_trial >= xlo) & (x_trial <= xhi)
         x_it = jnp.clip(x_trial, xlo, xhi)
@@ -116,10 +125,11 @@ def solve_1eq_bc_qp(w, a, b, xlo, xhi, y, max_its: int = 50):
         need_bisect = ((lam_newton - lamlo < D) | (lamhi - lam_newton < D))
         lam_next = jnp.where(need_bisect, 0.5 * (lamlo + lamhi), lam_newton)
         lam = jnp.where(done, lam, lam_next)
-        state = (lam, lamlo, lamhi, x_newton, done,
-                 need_bisect & ~done)
+        return (it + 1, lam, lamlo, lamhi, x_newton, done,
+                need_bisect & ~done)
 
-    lam, lamlo, lamhi, x_newton, done, _ = state
+    state = jax.lax.while_loop(cond, body, state0)
+    _, lam, lamlo, lamhi, x_newton, done, _ = state
     info = jnp.where(y_done, 0, jnp.where(infeas, -1, 1)).astype(jnp.int32)
     x = jnp.where(y_done[..., None], y,
                   jnp.where(corner_done[..., None], x_corner, x_newton))

@@ -79,3 +79,51 @@ def d2c_q(rho_dg, q_dg, d2c_map, dgbfi, cnn: int):
 def dss_q(rho_dg, q_dg, d2c_map, dgbfi, cnn: int):
     """q-DSS round trip (slmmir_d2c.cpp:117-120)."""
     return c2d(d2c_q(rho_dg, q_dg, d2c_map, dgbfi, cnn), d2c_map)
+
+
+# ----------------------------------------------------------------------------
+# Gather-based variants: the inverse map has <= 4 coincident DGLL slots per
+# continuous node (mesh.c2d_idx/c2d_mask), so the per-node reduction becomes
+# a (cnn, 4) gather + masked sum - no scatter, which TPUs execute far faster.
+
+@jax.jit
+def d2c_gather(dg, c2d_idx, c2d_mask, dgbfi, clip_minmax: bool = True):
+    """Gather-based d2c. dg: (..., ndgll) -> (..., cnn)."""
+    vals = dg[..., c2d_idx]                         # (..., cnn, 4)
+    w = jnp.where(c2d_mask, dgbfi[c2d_idx], 0.0)
+    num = jnp.sum(w * vals, axis=-1)
+    den = jnp.sum(w, axis=-1)
+    cg = num / den
+    if clip_minmax:
+        big = jnp.where(c2d_mask, vals, -jnp.inf)
+        small = jnp.where(c2d_mask, vals, jnp.inf)
+        cg = jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+    return cg
+
+
+@jax.jit
+def dss_gather(dg, d2c_map, c2d_idx, c2d_mask, dgbfi):
+    return c2d(d2c_gather(dg, c2d_idx, c2d_mask, dgbfi), d2c_map)
+
+
+@jax.jit
+def d2c_q_gather(rho_dg, q_dg, c2d_idx, c2d_mask, dgbfi):
+    """Gather-based mixing-ratio d2c (weights dgbfi*rho, clip to coincident
+    range)."""
+    vals = q_dg[..., c2d_idx]                       # (..., cnn, 4)
+    w = jnp.where(c2d_mask, (dgbfi * rho_dg)[c2d_idx], 0.0)
+    num = jnp.sum(w * vals, axis=-1)
+    den = jnp.sum(w, axis=-1)
+    w0 = jnp.where(c2d_mask, dgbfi[c2d_idx], 0.0)
+    num0 = jnp.sum(w0 * vals, axis=-1)
+    den0 = jnp.sum(w0, axis=-1)
+    ok = den > 0
+    cg = jnp.where(ok, num / jnp.where(ok, den, 1.0), num0 / den0)
+    big = jnp.where(c2d_mask, vals, -jnp.inf)
+    small = jnp.where(c2d_mask, vals, jnp.inf)
+    return jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+
+
+@jax.jit
+def dss_q_gather(rho_dg, q_dg, d2c_map, c2d_idx, c2d_mask, dgbfi):
+    return c2d(d2c_q_gather(rho_dg, q_dg, c2d_idx, c2d_mask, dgbfi), d2c_map)

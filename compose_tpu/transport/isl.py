@@ -119,6 +119,22 @@ class IslTransport:
         src = field[..., ci, :]                      # (..., cnn, np2)
         return jnp.einsum('...cx,cx->...c', src, w)
 
+    def _dss(self, field):
+        """Gather-based DSS of a (ncell, np2) or (nt, ncell, np2) field."""
+        m = self.mesh
+        flat = field.reshape(field.shape[:-2] + (-1,))
+        out = dss.dss_gather(flat, self.d2c_map, m.c2d_idx, m.c2d_mask,
+                             self.F.reshape(-1))
+        return out.reshape(field.shape)
+
+    def _dss_q(self, rho_dg, q):
+        """Gather-based mixing-ratio DSS; q: (nt, ncell, np2)."""
+        m = self.mesh
+        out = dss.dss_q_gather(rho_dg.reshape(-1),
+                               q.reshape(q.shape[0], -1), self.d2c_map,
+                               m.c2d_idx, m.c2d_mask, self.F.reshape(-1))
+        return out.reshape(q.shape)
+
     def _jacobian_departure(self, dep):
         """Isoparametric |J| of the departure mesh at every DGLL node
         (slmmir_remapper_isl.cpp:152-224, calc_isoparametric_jacobian)."""
@@ -161,12 +177,8 @@ class IslTransport:
             q.shape[0], m.ncell, m.np2)
 
         if cfg.filter == "none":
-            rho_out = (dss.dss(rho_tgt.reshape(-1), self.d2c_map,
-                               F.reshape(-1), m.cnn).reshape(m.ncell, m.np2)
-                       if cfg.rho_isl else rho_tgt)
-            q_out = dss.dss_q(
-                rho_out.reshape(-1), q_tgt.reshape(q.shape[0], -1),
-                self.d2c_map, F.reshape(-1), m.cnn).reshape(q_tgt.shape)
+            rho_out = (self._dss(rho_tgt) if cfg.rho_isl else rho_tgt)
+            q_out = self._dss_q(rho_out, q_tgt)
             return rho_out, q_out
 
         # --- CDR for rho (isl_cdr_rho, slmmir_remapper_isl.cpp:1240-1289).
@@ -177,8 +189,7 @@ class IslTransport:
             mass_src = bfb_sum(Ff * rho.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
             rho_tgt = rho_tgt + (mass_src - mass_tgt) / bfb_sum(Ff)
-            rho_tgt = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
-                              m.cnn).reshape(m.ncell, m.np2)
+            rho_tgt = self._dss(rho_tgt)
         elif cfg.rho_isl:
             mass_src = bfb_sum(Ff * rho.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
@@ -190,8 +201,7 @@ class IslTransport:
                 rho_mass, R_min, R_mass, R_max, mass_src - mass_tgt)
             delta = redist - R_mass
             rho_tgt = limiter_mod.limit_density(F, rho_tgt, delta)
-            rho_tgt = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
-                              m.cnn).reshape(m.ncell, m.np2)
+            rho_tgt = self._dss(rho_tgt)
 
         # --- CDR for tracers (isl_cdr, :1292-1455), vectorized over nt.
         nt = q.shape[0]
@@ -224,9 +234,7 @@ class IslTransport:
             q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
                               Q_tgt / rho_safe[None])
             q_new = jnp.clip(q_new, q_min_node, q_max_node)
-            q_out = dss.dss_q(rho_tgt.reshape(-1),
-                              q_new.reshape(nt_, -1), self.d2c_map, Ff,
-                              m.cnn).reshape(q_new.shape)
+            q_out = self._dss_q(rho_tgt, q_new)
             return rho_tgt, q_out
 
         # Per-cell records (nt-batched).
@@ -254,6 +262,5 @@ class IslTransport:
         q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         # --- DSS for tracers (mixing-ratio form; slmmir.cpp:1335-1339).
-        q_out = dss.dss_q(rho_tgt.reshape(-1), q_new.reshape(nt, -1),
-                          self.d2c_map, Ff, m.cnn).reshape(q_new.shape)
+        q_out = self._dss_q(rho_tgt, q_new)
         return rho_tgt, q_out

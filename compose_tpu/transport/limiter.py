@@ -43,10 +43,20 @@ def limit_density(F, rho, extra_mass, limiter: str = "mn2"):
     # delta >= 0: add a constant (linearly invariant).
     fac = delta / jnp.sum(F, axis=-1)
     rho_add = rho_clip + fac[..., None]
-    # delta < 0: solve the nonneg QP with mn2 (reference hard-codes mn2 here).
-    zeros = jnp.zeros_like(rho)
-    big = jnp.maximum(rho_clip, 0.0) + jnp.abs(mass_tgt)[..., None] + 1.0
-    x_qp, _ = local_qp.solve_1eq_bc_qp(F, F, mass_tgt, zeros, big, rho_clip)
+
+    # delta < 0: solve the nonneg QP with mn2 (reference hard-codes mn2
+    # here). That's the rare branch (density staying near 0 globally); run
+    # it under lax.cond so the common all-positive step skips the iterative
+    # solve entirely.
+    def qp_branch(_):
+        zeros = jnp.zeros_like(rho)
+        big = rho_clip + jnp.abs(mass_tgt)[..., None] + 1.0
+        x_qp, _ = local_qp.solve_1eq_bc_qp(F, F, mass_tgt, zeros, big,
+                                           rho_clip)
+        return x_qp
+
+    need_qp = jnp.any(need & (delta < 0))
+    x_qp = jax.lax.cond(need_qp, qp_branch, lambda _: rho_add, None)
     out = jnp.where((delta >= 0)[..., None], rho_add, x_qp)
     return jnp.where(need[..., None], out, rho)
 
