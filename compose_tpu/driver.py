@@ -86,13 +86,22 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
         observer_out=None, check_midpoint=False, geom_dtype="f64",
-        verbose=True):
+        fitext=False, rotate_grid=False, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
     (slmm_runtests.py:113-128): 12 steps of the 12-day deformational flow.
     """
-    mesh = cubed_sphere.build(ne, np_, basis)
+    rotate = None
+    if rotate_grid:
+        # Fixed pseudo-random rotations from the reference
+        # (slmmir.cpp:1560-1581): vortex problems probe the cube corners;
+        # otherwise keep the solid-body center off a collocation point.
+        if ode.lower() == "movingvortices":
+            rotate = ((1.0, 0.0, 0.0), 0.97654321 * np.pi / 4)
+        else:
+            rotate = ((0.11111, -0.051515, 1.0), 0.142314 * np.pi)
+    mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate)
     wind = gallery.create_wind(ode)
     if method in ("ir", "cdg"):
         from .transport.ir import IrConfig, IrTransport
@@ -106,7 +115,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
                         limiter=limiter,
                         rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
-                        geom_dtype=geom_dtype)
+                        geom_dtype=geom_dtype, fitext=fitext)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
@@ -244,6 +253,8 @@ def main(argv=None):
                    help="precision of the geometric pipeline (f32 = fast "
                         "path; mass/bounds invariants stay f64)")
     p.add_argument("-lauritzen", action="store_true")
+    p.add_argument("-fitext", action="store_true")
+    p.add_argument("-rotate-grid", dest="rotate_grid", action="store_true")
     p.add_argument("-midpoint-check", dest="check_midpoint",
                    action="store_true")
     p.add_argument("-rit", dest="observer_out", default=None,
@@ -254,7 +265,8 @@ def main(argv=None):
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
         observer_out=a.observer_out, check_midpoint=a.check_midpoint,
-        geom_dtype=a.geom_dtype)
+        geom_dtype=a.geom_dtype, fitext=a.fitext,
+        rotate_grid=a.rotate_grid)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,7 @@ class CubedSphereMesh:
     dgbfi_sphere: jnp.ndarray     # (ncell, np*np) spherical basis integrals
     basis_x: jnp.ndarray          # (np,) basis node coords
     basis_w: jnp.ndarray          # (np,) basis weights (islet-modified if any)
+    rot_R: jnp.ndarray = None     # (3,3) grid rotation, or None
 
     @property
     def np2(self):
@@ -107,17 +108,29 @@ class CubedSphereMesh:
 _BUILD_CACHE = {}
 
 
+def form_rotation(axis, angle):
+    """Rodrigues rotation matrix about `axis` by `angle` (the reference's
+    form_rotation, slmm_util)."""
+    a = np.asarray(axis, dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
 def build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-          tq_order: int = 18) -> CubedSphereMesh:
-    """Cached mesh construction (meshes are static data)."""
-    key = (ne, np_, basis_name, tq_order)
+          tq_order: int = 18, rotate=None) -> CubedSphereMesh:
+    """Cached mesh construction (meshes are static data). `rotate` is an
+    optional (axis, angle) grid rotation (slmmir -rotate-grid,
+    slmm_mesh.cpp:835-848)."""
+    key = (ne, np_, basis_name, tq_order,
+           None if rotate is None else (tuple(rotate[0]), rotate[1]))
     if key not in _BUILD_CACHE:
-        _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order)
+        _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order, rotate)
     return _BUILD_CACHE[key]
 
 
 def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-           tq_order: int = 18) -> CubedSphereMesh:
+           tq_order: int = 18, rotate=None) -> CubedSphereMesh:
     ncell = 6 * ne * ne
     np2 = np_ * np_
     bas = basis_mod.create(basis_name, np_)
@@ -140,6 +153,14 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         corners[f, :, :, 3] = _face_point(f, XX0, YY1)
     corners = corners.reshape(ncell, 4, 3)
     corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
+    rot_R = None
+    if rotate is not None:
+        # Rotate the geometry; all downstream quantities (nodes, Jacobians,
+        # integrals) are computed from the rotated corners, and point
+        # location un-rotates (get_cell_coords with R).
+        rot_R = form_rotation(*rotate)
+        corners = corners @ rot_R.T
+        corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
 
     # --- Cell nodes: bilinear-sphere map of the GLL reference grid.
     A, B = np.meshgrid(gx, gx, indexing='xy')  # A varies along i (fast)
@@ -230,6 +251,7 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         dgbfi_sphere=jnp.asarray(dgbfi_sphere),
         basis_x=jnp.asarray(bas.x),
         basis_w=jnp.asarray(bas.w),
+        rot_R=None if rot_R is None else jnp.asarray(rot_R),
     )
 
 
@@ -251,11 +273,15 @@ def _dgbfi_sphere(corners, bary, qw, np_):
 
 
 @partial(jax.jit, static_argnames=("ne",))
-def get_cell_coords(ne: int, p):
+def get_cell_coords(ne: int, p, R=None):
     """Point location with local coordinates: returns (cell_idx, a0, b0)
     where (a0, b0) is the closed-form equiangular estimate of the in-cell
     reference coordinates - an O(h^2)-accurate warm start for the bilinear
-    Newton inverse (sqr.sphere_to_ref)."""
+    Newton inverse (sqr.sphere_to_ref). `R` is the grid rotation if the
+    mesh was built rotated (R' p brings the point to the unrotated grid,
+    slmm_mesh.cpp:782-790)."""
+    if R is not None:
+        p = p @ R.astype(p.dtype)
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     face = jnp.where(
@@ -281,9 +307,12 @@ def get_cell_coords(ne: int, p):
 
 
 @partial(jax.jit, static_argnames=("ne",))
-def get_cell_idx(ne: int, p):
+def get_cell_idx(ne: int, p, R=None):
     """O(1) point -> cell id on the quasiuniform equiangular mesh
-    (slmm_mesh.cpp:751-806). `p` is (..., 3) on (or near) the unit sphere."""
+    (slmm_mesh.cpp:751-806). `p` is (..., 3) on (or near) the unit sphere;
+    `R` is the optional grid rotation."""
+    if R is not None:
+        p = p @ R.astype(p.dtype)
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     # Face selection matching get_cube_face_idx exactly.

@@ -43,7 +43,9 @@ _CACHE = {}
 
 
 def build(mesh: cubed_sphere.CubedSphereMesh, tq_order: int = None) -> IrData:
-    key = (mesh.ne, mesh.np_, tq_order)
+    rot = (None if mesh.rot_R is None
+           else tuple(np.asarray(mesh.rot_R).ravel().tolist()))
+    key = (mesh.ne, mesh.np_, tq_order, rot)
     if key not in _CACHE:
         _CACHE[key] = _build(mesh, tq_order)
     return _CACHE[key]

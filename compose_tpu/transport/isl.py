@@ -45,6 +45,7 @@ class IslConfig:
     rho_isl: bool = True         # pisl: transport rho by ISL too
     nsub: int = 8                # trajectory substeps per transport step
     positive_only: bool = False  # -mono *-pve: nonnegativity only
+    fitext: bool = False         # -fitext: quadratic sub-grid bound relaxation
     # Precision of the geometric pipeline (trajectories, point location,
     # Newton inverse map, basis weights). f64 emulation dominates TPU step
     # time; 'f32' runs geometry natively (~7x faster) while every
@@ -76,6 +77,11 @@ class IslTransport:
             self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
         else:
             self.mrd = None
+        if config.fitext:
+            from .fit_extremum import FitExtremum
+            self.fitext = FitExtremum(config.np_)
+        else:
+            self.fitext = None
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
@@ -96,7 +102,7 @@ class IslTransport:
                                 self.config.nsub)
         # Warm-started Newton: the closed-form equiangular estimate is
         # O(h^2)-accurate, so a few quadratic iterations reach precision.
-        ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep)
+        ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep, m.rot_R)
         corners = m.corners[ci]
         if f32:
             corners = corners.astype(jnp.float32)
@@ -214,6 +220,14 @@ class IslTransport:
         # cell of each node.
         q_min_cell = jnp.min(q, axis=-1)                     # (nt, ncell)
         q_max_cell = jnp.max(q, axis=-1)
+        if self.fitext is not None:
+            # Relax bounds toward reconstructed sub-grid extrema
+            # (slmmir_remapper_isl.cpp:1355-1365).
+            fmin, fmax, fuse = self.fitext.calc(q)
+            q_min_cell = jnp.where(fuse, jnp.minimum(q_min_cell, fmin),
+                                   q_min_cell)
+            q_max_cell = jnp.where(fuse, jnp.maximum(q_max_cell, fmax),
+                                   q_max_cell)
         node_src_cell = ci[self.d2c_map].reshape(m.ncell, m.np2)
         q_min_node = q_min_cell[:, node_src_cell]            # (nt, ncell, np2)
         q_max_node = q_max_cell[:, node_src_cell]
