@@ -86,7 +86,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
         observer_out=None, check_midpoint=False, geom_dtype="f64",
-        fitext=False, rotate_grid=False, verbose=True):
+        fitext=False, rotate_grid=False, timeint="exact", verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -115,7 +115,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
                         limiter=limiter,
                         rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
-                        geom_dtype=geom_dtype, fitext=fitext)
+                        geom_dtype=geom_dtype, fitext=fitext,
+                        timeint=timeint)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
@@ -255,6 +256,7 @@ def main(argv=None):
     p.add_argument("-lauritzen", action="store_true")
     p.add_argument("-fitext", action="store_true")
     p.add_argument("-rotate-grid", dest="rotate_grid", action="store_true")
+    p.add_argument("-timeint", default="exact", choices=["exact", "interp"])
     p.add_argument("-midpoint-check", dest="check_midpoint",
                    action="store_true")
     p.add_argument("-rit", dest="observer_out", default=None,
@@ -266,7 +268,7 @@ def main(argv=None):
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
         observer_out=a.observer_out, check_midpoint=a.check_midpoint,
         geom_dtype=a.geom_dtype, fitext=a.fitext,
-        rotate_grid=a.rotate_grid)
+        rotate_grid=a.rotate_grid, timeint=a.timeint)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,12 @@ class IslConfig:
     nsub: int = 8                # trajectory substeps per transport step
     positive_only: bool = False  # -mono *-pve: nonnegativity only
     fitext: bool = False         # -fitext: quadratic sub-grid bound relaxation
+    # Trajectory integration: 'exact' integrates every fine-grid node;
+    # 'interp' integrates a coarse np=v_np velocity grid and interpolates
+    # departure points to the fine grid (slmmir -timeint interp;
+    # VelocityInterpolatorMeshIntegrator, slmmir_time_int.{hpp,cpp}).
+    timeint: str = "exact"
+    v_np: int = 4
     # Precision of the geometric pipeline (trajectories, point location,
     # Newton inverse map, basis weights). f64 emulation dominates TPU step
     # time; 'f32' runs geometry natively (~7x faster) while every
@@ -82,6 +88,26 @@ class IslTransport:
             self.fitext = FitExtremum(config.np_)
         else:
             self.fitext = None
+        if config.timeint == "interp" and config.v_np < config.np_:
+            # Coarse velocity grid + fine-node interpolation data.
+            self.vmesh = cubed_sphere.build(mesh.ne, config.v_np, "Gll")
+            vb = basis_mod.GLL(config.v_np)
+            # Fine cgll node -> owner cell + ref coords -> coarse basis
+            # weights. Nodes with the same local index share weights.
+            import numpy as np_mod
+            rep = np_mod.asarray(mesh.cgll_rep)
+            own_cell = rep // mesh.np2
+            k = rep % mesh.np2
+            gx = np_mod.asarray(basis_mod.gll_nodes_weights(config.np_)[0])
+            a = jnp.asarray(gx[k % mesh.np_])
+            b = jnp.asarray(gx[k // mesh.np_])
+            va = vb.eval(a)            # (cnn, v_np)
+            vbv = vb.eval(b)
+            self.v_weights = (vbv[:, :, None] * va[:, None, :]).reshape(
+                mesh.cnn, config.v_np ** 2)
+            self.v_own_cell = jnp.asarray(own_cell.astype(np_mod.int32))
+        else:
+            self.vmesh = None
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
@@ -97,9 +123,23 @@ class IslTransport:
     def _departure_data(self, ts, tf):
         m = self.mesh
         f32 = self.config.geom_dtype == "f32"
-        nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz
-        dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
-                                self.config.nsub)
+        if self.vmesh is not None:
+            # Integrate the coarse velocity grid, then interpolate departure
+            # points to the fine nodes through each node's owner cell.
+            vm = self.vmesh
+            vnodes = (vm.cgll_xyz.astype(jnp.float32) if f32
+                      else vm.cgll_xyz)
+            vdep = timeint.integrate(self.wind.velocity, tf, ts, vnodes,
+                                     self.config.nsub)
+            vdep_cells = vdep[vm.dgll2cgll]          # (ncell, v_np2, 3)
+            dep = jnp.einsum('ck,ckd->cd',
+                             self.v_weights.astype(vdep.dtype),
+                             vdep_cells[self.v_own_cell])
+            dep = sphere.normalize(dep)
+        else:
+            nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz
+            dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
+                                    self.config.nsub)
         # Warm-started Newton: the closed-form equiangular estimate is
         # O(h^2)-accurate, so a few quadratic iterations reach precision.
         ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep, m.rot_R)

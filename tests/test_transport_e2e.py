@@ -57,6 +57,25 @@ def test_golden_pisl_qlt_np6():
 
 
 @pytest.mark.slow
+def test_golden_pisl_np12_interp_timeint():
+    # slmm_runtests.py:135-146: pisl np12 ne3 gaussianhills, exact and
+    # interpolated trajectories; and the caas+bounds row.
+    out = driver.run(ne=3, np_=12, nsteps=12, ics=("gaussianhills",),
+                     filter_="none", limiter="none", verbose=False)
+    assert 0 < out.l2_err <= 8.793e-3
+    out = driver.run(ne=3, np_=12, nsteps=12, ics=("gaussianhills",),
+                     filter_="none", limiter="none", timeint="interp",
+                     verbose=False)
+    assert 0 < out.l2_err <= 9.939e-3
+    out = driver.run(ne=3, np_=12, nsteps=12, ics=("slottedcylinders",),
+                     filter_="caas", limiter="mn2", timeint="interp",
+                     verbose=False)
+    assert 0 < out.l2_err <= 2.896e-1
+    assert out.cv_gll <= 5e-14
+    assert out.min_e >= 0.1 and out.max_e <= 1.0
+
+
+@pytest.mark.slow
 def test_golden_ir_ne10():
     # slmm_runtests.py:188: ir np4 ne10 divergent gaussianhills ->
     # l2 <= 1.02e-2, cv <= 8e-15.
