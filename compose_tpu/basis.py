@@ -345,6 +345,159 @@ class IsletGllNodal(IsletGllOffsetNodal):
         return _regions_to_subsets(self.np)
 
 
+# islet::UniformOffsetNodal (slmm_islet.cpp:211-272): uniform nodes,
+# contiguous sub-polynomial windows, tabulated weights (slmm_islet.hpp).
+_UNIFORM_OFFSET_W = {
+    2: [1.0, 1.0],
+    3: [1.0 / 3.0, 4.0 / 3.0, 1.0 / 3.0],
+    4: [2.4999999999999992e-01, 7.5e-01, 7.5e-01, 2.4999999999999992e-01],
+    5: [1.8750000000000006e-01, 5.8333333333333337e-01,
+        4.5833333333333343e-01, 5.8333333333333337e-01,
+        1.8750000000000006e-01],
+    6: [1.5305555555555561e-01, 4.5750000000000002e-01,
+        3.8944444444444448e-01, 3.8944444444444448e-01,
+        4.5750000000000002e-01, 1.5305555555555561e-01],
+    7: [1.2754629629629630e-01, 3.8379629629629636e-01,
+        3.1689814814814821e-01, 3.4351851851851856e-01,
+        3.1689814814814821e-01, 3.8379629629629636e-01,
+        1.2754629629629630e-01],
+    8: [9.5238095238095247e-02, 3.6904761904761907e-01,
+        2.3809523809523803e-01, 2.9761904761904762e-01,
+        2.9761904761904762e-01, 2.3809523809523803e-01,
+        3.6904761904761907e-01, 9.5238095238095247e-02],
+    9: [8.3333333333333329e-02, 3.2291666666666669e-01,
+        2.0833333333333337e-01, 2.6041666666666669e-01,
+        2.5000000000000006e-01, 2.6041666666666669e-01,
+        2.0833333333333337e-01, 3.2291666666666669e-01,
+        8.3333333333333329e-02],
+    10: [7.7469135802469141e-02, 2.7345679012345675e-01,
+         2.0555555555555555e-01, 2.1790123456790123e-01,
+         2.2561728395061736e-01, 2.2561728395061736e-01,
+         2.1790123456790123e-01, 2.0555555555555555e-01,
+         2.7345679012345675e-01, 7.7469135802469141e-02],
+    11: [6.9722222222222227e-02, 2.4611111111111111e-01,
+         1.8500000000000008e-01, 1.9611111111111118e-01,
+         2.0305555555555560e-01, 1.9999999999999998e-01,
+         2.0305555555555560e-01, 1.9611111111111118e-01,
+         1.8500000000000008e-01, 2.4611111111111111e-01,
+         6.9722222222222227e-02],
+    12: [6.3383838383838390e-02, 2.2651515151515156e-01,
+         1.5707070707070694e-01, 1.9494949494949498e-01,
+         1.7348484848484846e-01, 1.8459595959595959e-01,
+         1.8459595959595959e-01, 1.7348484848484846e-01,
+         1.9494949494949498e-01, 1.5707070707070694e-01,
+         2.2651515151515156e-01, 6.3383838383838390e-02],
+    13: [5.9374999999999990e-02, 2.0127314814814809e-01,
+         1.5671296296296305e-01, 1.6597222222222227e-01,
+         1.6539351851851855e-01, 1.6793981481481482e-01,
+         1.6666666666666663e-01, 1.6793981481481482e-01,
+         1.6539351851851855e-01, 1.6597222222222227e-01,
+         1.5671296296296305e-01, 2.0127314814814809e-01,
+         5.9374999999999990e-02],
+}
+_UNIFORM_OFFSET_REGIONS = {
+    4: [(0, 3), (0, 4)],
+    5: [(0, 3), (0, 4)],
+    6: [(0, 3), (0, 4), (0, 6)],
+    7: [(0, 3), (0, 4), (1, 4)],
+    8: [(0, 4), (0, 4), (1, 4), (2, 4)],
+    9: [(0, 4), (0, 4), (1, 4), (2, 4)],
+    10: [(0, 4), (0, 4), (1, 4), (2, 4), (3, 4)],
+    11: [(0, 4), (0, 4), (1, 4), (2, 4), (3, 4)],
+    12: [(0, 4), (0, 4), (1, 4), (2, 4), (3, 4), (4, 4)],
+    13: [(0, 4), (0, 4), (1, 4), (2, 4), (3, 4), (4, 4)],
+}
+
+# islet::FreeNodal (slmm_islet.{hpp,cpp}): freely-placed nodes + explicit
+# subsets, all offline-derived data.
+_FREE_NODAL_X = {
+    4: [-1, -4.4721359549995793e-01, 4.4721359549995793e-01, 1],
+    5: [-1, -6.6678658540509828e-01, 0, 6.6678658540509828e-01, 1],
+    6: [-1, -7.6692663677851514e-01, -3.0080515728048823e-01,
+        3.0080515728048823e-01, 7.6692663677851514e-01, 1],
+    7: [-1, -9.0990710644769845e-01, -5.2121920370139296e-01, 0,
+        5.2121920370139296e-01, 9.0990710644769845e-01, 1],
+    8: [-1, -8.5140924689985531e-01, -6.8076136583943381e-01,
+        -3.3295319583926342e-01, 3.3295319583926342e-01,
+        6.8076136583943381e-01, 8.5140924689985531e-01, 1],
+    10: [-1, -9.1953390816645886e-01, -7.3979280618087628e-01,
+         -5.5608644784645889e-01, -2.3500601793189407e-01,
+         2.3500601793189407e-01, 5.5608644784645889e-01,
+         7.3979280618087628e-01, 9.1953390816645886e-01, 1],
+}
+_FREE_NODAL_W = {
+    4: [1.6666666666666666e-01, 8.3333333333333326e-01,
+        8.3333333333333326e-01, 1.6666666666666666e-01],
+    5: [4.9870438822580979e-02, 6.3756212508301224e-01,
+        6.2513487218881347e-01, 6.3756212508301224e-01,
+        4.9870438822580979e-02],
+    6: [7.2085444326295170e-02, 3.5621719740552549e-01,
+        5.7169735826817936e-01, 5.7169735826817936e-01,
+        3.5621719740552549e-01, 7.2085444326295170e-02],
+    7: [6.5052894249013657e-02, 1.3476067847565915e-01,
+        5.7683298128860117e-01, 4.4670689197345193e-01,
+        5.7683298128860117e-01, 1.3476067847565915e-01,
+        6.5052894249013657e-02],
+    8: [1.2725008869179433e-02, 3.3555941579644766e-01,
+        1.4505431324948675e-02, 6.3721014400942422e-01,
+        6.3721014400942422e-01, 1.4505431324948675e-02,
+        3.3555941579644766e-01, 1.2725008869179433e-02],
+    10: [2.8881226543594377e-02, 1.1714238963320928e-01,
+         2.3127422749964027e-01, 1.7494931493842375e-01,
+         4.4775284138513227e-01, 4.4775284138513227e-01,
+         1.7494931493842375e-01, 2.3127422749964027e-01,
+         1.1714238963320928e-01, 2.8881226543594377e-02],
+}
+_FREE_NODAL_SUBSETS = {
+    4: [[0, 1, 2], [0, 1, 2, 3]],
+    5: [[0, 1, 2, 3], [0, 1, 2, 3]],
+    6: [[0, 1, 2, 3, 4], [0, 1, 2, 3, 4], [0, 1, 2, 3, 4, 5]],
+    7: [[0, 1, 2, 4, 5, 6], [0, 1, 2, 3, 4, 5, 6], [0, 1, 2, 3, 4, 5]],
+    8: [[0, 1, 2, 3, 4, 5, 7], [0, 1, 2, 3, 4, 5, 6, 7],
+        [0, 1, 2, 3, 4, 5, 6], [0, 1, 2, 3, 4, 5, 6, 7]],
+    10: [[0, 1, 2, 3, 4, 5, 6, 7, 8], [0, 1, 2, 3, 4, 5, 7, 8, 9],
+         [0, 1, 2, 3, 4, 5, 6, 7, 8, 9], [0, 1, 2, 3, 4, 5, 6, 7, 8],
+         [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]],
+}
+
+
+class IsletUniformOffsetNodal(GLL):
+    """islet::UniformOffsetNodal - uniform nodes, offset sub-polynomials."""
+
+    name = "UniformOffsetNodal"
+
+    def __init__(self, np_: int):
+        self.np = np_
+        x = np.linspace(-1.0, 1.0, np_)
+        self.x = jnp.asarray(x)
+        if np_ not in _UNIFORM_OFFSET_W:
+            raise NotImplementedError(f"UniformOffsetNodal np={np_}")
+        self.w = jnp.asarray(np.array(_UNIFORM_OFFSET_W[np_]))
+
+    def eval(self, x):
+        if self.np <= 3:
+            return _lagrange_eval(self.x, x)
+        subsets = [list(range(os, os + sub))
+                   for (os, sub) in _UNIFORM_OFFSET_REGIONS[self.np]]
+        return _regionwise_eval(self.x, subsets, x)
+
+
+class IsletFreeNodal(GLL):
+    """islet::FreeNodal - freely-placed stabilized nodes."""
+
+    name = "FreeNodal"
+
+    def __init__(self, np_: int):
+        if np_ not in _FREE_NODAL_X:
+            raise NotImplementedError(f"FreeNodal np={np_}")
+        self.np = np_
+        self.x = jnp.asarray(np.array(_FREE_NODAL_X[np_]))
+        self.w = jnp.asarray(np.array(_FREE_NODAL_W[np_]))
+
+    def eval(self, x):
+        return _regionwise_eval(self.x, _FREE_NODAL_SUBSETS[self.np], x)
+
+
 _BASIS_REGISTRY = {
     "gll": GLL,
     "Gll": GLL,
@@ -352,6 +505,10 @@ _BASIS_REGISTRY = {
     "GllNodal": IsletGllNodal,
     "glloffsetnodal": IsletGllOffsetNodal,
     "GllOffsetNodal": IsletGllOffsetNodal,
+    "uniformoffsetnodal": IsletUniformOffsetNodal,
+    "UniformOffsetNodal": IsletUniformOffsetNodal,
+    "freenodal": IsletFreeNodal,
+    "FreeNodal": IsletFreeNodal,
 }
 
 

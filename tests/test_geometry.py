@@ -50,6 +50,25 @@ def test_islet_np4_basis():
     assert np.allclose(v, vm[..., ::-1], atol=1e-14)
 
 
+def test_islet_all_families():
+    # Every tabulated basis family: partition of unity, nodal exactness,
+    # symmetry, weight sum 2.
+    cases = [("GllNodal", n) for n in (5, 7, 8, 9, 10, 13, 16)]
+    cases += [("GllOffsetNodal", n) for n in (5, 8, 12)]
+    cases += [("UniformOffsetNodal", n) for n in (4, 7, 12)]
+    cases += [("FreeNodal", n) for n in (4, 7, 10)]
+    xs = jnp.linspace(-1, 1, 41)
+    for name, np_ in cases:
+        b = basis.create(name, np_)
+        v = np.asarray(b.eval(xs))
+        assert np.abs(v.sum(-1) - 1).max() < 1e-11, (name, np_)
+        vn = np.asarray(b.eval(b.x))
+        assert np.abs(vn - np.eye(np_)).max() < 1e-11, (name, np_)
+        vm = np.asarray(b.eval(-xs))
+        assert np.abs(v - vm[..., ::-1]).max() < 1e-12, (name, np_)
+        assert abs(float(b.w.sum()) - 2) < 1e-12, (name, np_)
+
+
 def test_islet_np6_basis():
     b = basis.create("GllNodal", 6)
     xs = jnp.linspace(-1, 1, 101)
