@@ -169,6 +169,64 @@ def lebesgue_constant(basis, nsamp: int = 1001):
     return float(np.max(np.sum(np.abs(v), axis=-1)))
 
 
+class OffsetNodalBasis:
+    """Ad-hoc GLL-node basis with caller-specified region windows - the
+    search space of the reference's `search findnodal_given_bestosn`
+    (methods/islet/search.cpp; string-defined bases in
+    slmm_islet_string.cpp)."""
+
+    def __init__(self, np_: int, regions):
+        from . import basis as _b
+        g = _b.GLL(np_)
+        self.np = np_
+        self.x = g.x
+        self.w = g.w  # placeholder weights; the search scores stability
+        self.regions = tuple(regions)
+
+    def eval(self, x):
+        from . import basis as _b
+        subsets = [list(range(os, os + sub)) for (os, sub) in self.regions]
+        return _b._regionwise_eval(self.x, subsets, x)
+
+
+def search_offset_nodal(np_: int, ne: int = 5, ndx: int = 24,
+                        tol: float = 1e-9, min_subnp: int = None):
+    """Enumerate offset-nodal region configurations for `np_` GLL nodes and
+    return the stable ones (lambda_max <= 1 + tol over the Courant sweep),
+    sorted by the interpolation accuracy metric - a compact version of the
+    reference's offline basis search (methods/islet/search.cpp;
+    readme.txt:24-60 documents the output contract: configurations +
+    stability/accuracy metrics).
+
+    Returns a list of (regions, lambda_max, accuracy) tuples.
+    """
+    import itertools
+    nreg = np_ // 2
+    if min_subnp is None:
+        min_subnp = max(2, np_ - 2)
+    per_region = []
+    for i in range(nreg):
+        opts = []
+        for sub in range(min_subnp, np_ + 1):
+            for os in range(0, np_ - sub + 1):
+                # The region [x_i, x_{i+1}] must be covered by the window
+                # so nodal interpolation stays exact in-region.
+                if os <= i and os + sub - 1 >= i + 1:
+                    opts.append((os, sub))
+        per_region.append(opts)
+    out = []
+    for regions in itertools.product(*per_region):
+        b = OffsetNodalBasis(np_, regions)
+        try:
+            lam = MaxEigComputer(b).max_eig_amp(ne, ndx)
+        except Exception:
+            continue
+        if lam <= 1 + tol:
+            out.append((regions, lam, interp_error_metric(b)))
+    out.sort(key=lambda r: r[2])
+    return out
+
+
 def interp_error_metric(basis, degree: int = None, nsamp: int = 501):
     """a_inf-style metric: worst-case interpolation error of sin(pi x)
     relative to its best approximation scale - a simple accuracy proxy for

@@ -165,12 +165,61 @@ class MovingVortices(WindField):
             (rho / cls.gamma) * jnp.sin(lam_p - (omega / R) * time))
 
 
+class Dcmip1d3ll(WindField):
+    """DCMIP 1-3 background flow: solid-body rotation about an axis tilted
+    alpha = pi/6 from the pole, period tau = 1036800 s
+    (slmm_gallery.cpp:300-330; the lat-lon form's pole singularity
+    disappears in this exact cartesian formulation)."""
+
+    def __init__(self):
+        alpha = np.pi / 6
+        self.axis = jnp.asarray([-np.sin(alpha), 0.0, np.cos(alpha)])
+        self.omega = 2 * np.pi / 1036800.0
+
+    def velocity(self, t, p):
+        return self.omega * sphere.cross(
+            jnp.broadcast_to(self.axis, p.shape), p)
+
+
+class TestWindField(WindField):
+    """Nondivergent deformational flow plus a vertical-structure
+    perturbation term ud (slmm_gallery.cpp:494-543), at the fixed level
+    z = 0.05*ztop."""
+
+    T = constants.day2sec(12)
+
+    def velocity(self, t, p):
+        lat, lon = sphere.xyz2ll(p)
+        R = constants.earth_radius_m
+        T = self.T
+        ztop = 12000.0
+        z = 0.05 * ztop
+        T0, Rd, g, p0 = 300.0, 287.04, 9.80616, 100000.0
+        H = Rd * T0 / g
+        omega0 = (2 * 23000 * np.pi) / T
+        lam_p = lon - 2 * jnp.pi * t / T
+        costh = jnp.cos(lat)
+        cost = jnp.cos(jnp.pi * t / T)
+        pr = p0 * np.exp(-z / H)
+        ptop = p0 * np.exp(-ztop / H)
+        bs = 0.2
+        s_p = (-np.exp((pr - p0) / (bs * ptop))
+               + np.exp((ptop - pr) / (bs * ptop))) / (bs * ptop)
+        ud = (omega0 * R) * jnp.cos(lam_p) * costh ** 2 * cost * s_p
+        v = 10 * R / T * jnp.sin(2 * lam_p) * costh * cost
+        u = (R / T * (10 * jnp.sin(lam_p) ** 2 * jnp.sin(2 * lat) * cost
+                      + 2 * jnp.pi * costh) + ud)
+        return _uv2xyz(p, u / R, v / R)
+
+
 WINDS = {
     "nondivergent": NonDivergentWindField,
     "divergent": DivergentWindField,
     "nondivergenthack": NonDivergentWindFieldHack,
     "rotate": Rotate,
     "movingvortices": MovingVortices,
+    "dcmip1d3ll": Dcmip1d3ll,
+    "testfn": TestWindField,
 }
 
 

@@ -53,6 +53,17 @@ def test_islet_np6_np8_stable():
         assert lam <= 1 + 1e-9, (np_, lam)
 
 
+@pytest.mark.slow
+def test_search_recovers_reference_np5():
+    # The compact search must find stable offset-nodal configs for np=5 and
+    # include the reference's published choice {(0,3),(0,4)}
+    # (slmm_islet.cpp:106).
+    res = islet_tools.search_offset_nodal(5, ne=5, ndx=16)
+    assert len(res) >= 1
+    assert all(lam <= 1 + 1e-9 for (_, lam, _) in res)
+    assert any(r[0] == ((0, 3), (0, 4)) for r in res)
+
+
 def test_lebesgue_and_accuracy_metrics():
     g4 = basis_mod.GLL(4)
     i4 = basis_mod.create("GllNodal", 4)
