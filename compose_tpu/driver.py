@@ -86,7 +86,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         ode="divergent", method="pisl", filter_="qlt", limiter="mn2",
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
         observer_out=None, check_midpoint=False, geom_dtype="f64",
-        fitext=False, rotate_grid=False, timeint="exact", verbose=True):
+        fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
+        verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -168,6 +169,17 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             q = q.at[i_cl].add((dt * cl_f).reshape(q[i_cl].shape))
             q = q.at[i_cl2].add((dt * cl2_f).reshape(q[i_cl2].shape))
         rho, q = model.step(rho, q, ts, tf)
+        if perturb_rho:
+            # Mass-free random density perturbation for tracer-consistency
+            # studies (Remapper::perturb_rho, slmmir_remapper.cpp:535-564):
+            # project out the F-weighted mass, scale so rho stays > 0.
+            import jax
+            u = jax.random.uniform(jax.random.PRNGKey(step), rho.shape,
+                                   minval=-1.0, maxval=1.0)
+            Fg = mesh.dgbfi_gll
+            u = u - Fg * (jnp.sum(Fg * u) / jnp.sum(Fg * Fg))
+            fac = perturb_rho * jnp.min(rho) / jnp.max(jnp.abs(u))
+            rho = rho + fac * u
         # Observer-style per-step checks on tracer 0 (slmmir.cpp:921-958).
         mass = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
         max_step_mass_err = max(max_step_mass_err,
@@ -257,6 +269,8 @@ def main(argv=None):
     p.add_argument("-fitext", action="store_true")
     p.add_argument("-rotate-grid", dest="rotate_grid", action="store_true")
     p.add_argument("-timeint", default="exact", choices=["exact", "interp"])
+    p.add_argument("--perturb-rho", dest="perturb_rho", type=float,
+                   default=0.0)
     p.add_argument("-midpoint-check", dest="check_midpoint",
                    action="store_true")
     p.add_argument("-rit", dest="observer_out", default=None,
@@ -268,7 +282,8 @@ def main(argv=None):
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
         observer_out=a.observer_out, check_midpoint=a.check_midpoint,
         geom_dtype=a.geom_dtype, fitext=a.fitext,
-        rotate_grid=a.rotate_grid, timeint=a.timeint)
+        rotate_grid=a.rotate_grid, timeint=a.timeint,
+        perturb_rho=a.perturb_rho)
 
 
 if __name__ == "__main__":

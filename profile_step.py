@@ -34,7 +34,7 @@ def main():
     mesh = cubed_sphere.build(ne, np_)
     wind = gallery.create_wind("divergent")
     cfg = IslConfig(ne=ne, np_=np_, filter="caas", limiter="caas",
-                    rho_isl=True, nsub=8)
+                    rho_isl=True, nsub=8, geom_dtype="f32")
     model = IslTransport(mesh, wind, cfg)
     rho = jnp.ones((mesh.ncell, mesh.np2))
     q1 = driver.init_tracers(
@@ -69,10 +69,14 @@ def main():
 
     # No-filter variant to isolate CDR+limiter cost.
     cfg2 = IslConfig(ne=ne, np_=np_, filter="none", limiter="none",
-                     rho_isl=True, nsub=8)
+                     rho_isl=True, nsub=8, geom_dtype="f32")
     model2 = IslTransport(mesh, wind, cfg2)
     step2 = jax.jit(model2._step_impl)
     timeit("step w/o CDR", step2, rho, q, 0.0, dt, n=10)
+
+    # Single-tracer step to split fixed vs per-tracer cost.
+    step1 = jax.jit(model._step_impl)
+    timeit("step nt=1", step1, rho, q[:1], 0.0, dt, n=10)
 
 
 if __name__ == "__main__":
