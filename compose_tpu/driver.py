@@ -104,11 +104,28 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             rotate = ((0.11111, -0.051515, 1.0), 0.142314 * np.pi)
     mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate)
     wind = gallery.create_wind(ode)
+    rho_remapper = None
     if method in ("ir", "cdg"):
         from .transport.ir import IrConfig, IrTransport
         cfg = IrConfig(ne=ne, np_=np_, method=method, dmc=dmc,
                        filter=filter_, limiter=limiter, nsub=nsub)
         model = IrTransport(mesh, wind, cfg)
+    elif method == "isl":
+        # Mixed method: rho by forward cell-integrated remap, tracers by
+        # ISL (slmmir.cpp:1314-1322).
+        from .transport.ir import IrConfig, IrTransport
+        # The reference's isl rows use -dmc f (Homme mass); enforce the
+        # density remap's local mass equality in the GLL measure so tracer
+        # masses (also measured in GLL) conserve through Q = q*rho.
+        ir_dmc = {"es": "es", "none": "eh", "f": "eh", "eh": "eh"}[dmc]
+        ir_cfg = IrConfig(ne=ne, np_=np_, method="ir", dmc=ir_dmc,
+                          filter="none", limiter="none", nsub=nsub)
+        rho_remapper = IrTransport(mesh, wind, ir_cfg)
+        cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
+                        limiter=limiter, rho_isl=False, nsub=nsub,
+                        geom_dtype=geom_dtype, fitext=fitext,
+                        timeint=timeint)
+        model = IslTransport(mesh, wind, cfg)
     else:
         # pislu = pisl with the natural (unstabilized GLL) interpolant
         # (slmmir.hpp:112,137).
@@ -168,7 +185,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                                                    dt)
             q = q.at[i_cl].add((dt * cl_f).reshape(q[i_cl].shape))
             q = q.at[i_cl2].add((dt * cl2_f).reshape(q[i_cl2].shape))
-        rho, q = model.step(rho, q, ts, tf)
+        if rho_remapper is not None:
+            rho_tgt = rho_remapper.remap_rho(rho, ts, tf)
+            rho, q = model.step(rho, q, ts, tf, rho_tgt=rho_tgt)
+        else:
+            rho, q = model.step(rho, q, ts, tf)
         if perturb_rho:
             # Mass-free random density perturbation for tracer-consistency
             # studies (Remapper::perturb_rho, slmmir_remapper.cpp:535-564):

@@ -45,7 +45,8 @@ class IrConfig:
     ne: int
     np_: int = 4
     method: str = "ir"           # ir | cdg
-    dmc: str = "none"            # none | es (equality-sphere)
+    dmc: str = "none"            # none | es (equality-sphere) | eh
+    #                              (equality in the Homme/GLL mass measure)
     filter: str = "none"         # global CDR: qlt | caas | mn2 | none
     limiter: str = "mn2"
     nsub: int = 8
@@ -61,16 +62,55 @@ class IrTransport:
         self.ird = ir_data.build(mesh)
         self.gll = basis_mod.GLL(config.np_)
         self.F_sphere = mesh.dgbfi_sphere
-        self.F_mass = mesh.dgbfi_sphere  # dgbfi_mass for dmc in {none, es}
+        # dgbfi_mass: sphere integrals for none/es, Homme (GLL) mass for eh
+        # (Dmc::use_homme_mass, slmmir.hpp:74-76).
+        self.F_mass = (mesh.dgbfi_gll if config.dmc == "eh"
+                       else mesh.dgbfi_sphere)
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
         if config.filter != "none":
             self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
         else:
             self.mrd = None
         self._step = jax.jit(self._step_impl)
+        self._remap_rho_jit = None
 
     def step(self, rho, q, ts, tf):
         return self._step(rho, q, ts, tf)
+
+    def remap_rho(self, rho, ts, tf):
+        """Density-only cell-integrated remap (+ positivity limiter) - the
+        density leg of the mixed `isl` method (slmmir.cpp:1314-1317)."""
+        if self._remap_rho_jit is None:
+            self._remap_rho_jit = jax.jit(self._remap_rho_impl)
+        return self._remap_rho_jit(rho, ts, tf)
+
+    def _remap_rho_impl(self, rho, ts, tf):
+        cfg = self.config
+        m = self.mesh
+        adv_vert = timeint.integrate(
+            self.wind.velocity, ts, tf, self.ird.vert_xyz, cfg.nsub)
+        adv_cells = adv_vert[self.ird.cell2vert]
+        pair_src, pair_tgt, pair_mask = self._pairs(adv_cells)
+        T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
+        FsmoFtm = (self._fsmoftm(adv_cells) if cfg.method == "ir"
+                   else jnp.ones_like(rho))
+        y = self._apply_T(T, pair_src, pair_tgt, pair_mask, rho * FsmoFtm)
+        if cfg.dmc in ("es", "eh"):
+            # Per-cell mass equality in the chosen measure: target = this
+            # cell's share of each source basis function's mass.
+            colsum = jax.ops.segment_sum(ps_raw, pair_src,
+                                         num_segments=m.ncell)
+            cs = colsum[pair_src]
+            ps = ps_raw / jnp.where(cs == 0, 1.0, cs)
+            xs = rho[pair_src]
+            xs = jnp.where(pair_mask[..., None], xs, 0.0)
+            dp = jnp.einsum('pi,pi,pi->p', ps, self.F_mass[pair_src], xs)
+            d = jax.ops.segment_sum(dp, pair_tgt, num_segments=m.ncell)
+            rho_tgt = self._solve_1eq_ls(y, self.F_mass, d)
+        else:
+            rho_tgt = self._mass_solve(y)
+        return limiter_mod.limit_density(
+            self.F_mass, rho_tgt, jnp.zeros(m.ncell))
 
     # ------------------------------------------------------------------
     def _pairs(self, adv_cells):
@@ -242,7 +282,7 @@ class IrTransport:
 
         def project(x):
             y = self._apply_T(T, pair_src, pair_tgt, pair_mask, x * FsmoFtm)
-            if cfg.dmc == "es":
+            if cfg.dmc in ("es", "eh"):
                 # Local mass target = this cell's share of each source basis
                 # function's mass (remap_cell, slmmir_remap_data.cpp:340-357).
                 xs = x[..., pair_src, :]

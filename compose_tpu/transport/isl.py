@@ -109,15 +109,23 @@ class IslTransport:
         else:
             self.vmesh = None
         self._step = jax.jit(self._step_impl)
+        self._step_ext = None
 
     # ------------------------------------------------------------------
-    def step(self, rho, q, ts, tf):
+    def step(self, rho, q, ts, tf, rho_tgt=None):
         """Advance one transport step from ts to tf.
 
-        rho: (ncell, np2); q: (nt, ncell, np2) mixing ratios.
+        rho: (ncell, np2); q: (nt, ncell, np2) mixing ratios. For the
+        mixed `isl` method (rho transported by cell-integrated remap,
+        slmmir.cpp:1314-1322) pass the remapped target density as
+        `rho_tgt`; with rho_isl=False and no rho_tgt, density is held.
         Returns (rho', q').
         """
-        return self._step(rho, q, ts, tf)
+        if rho_tgt is None:
+            return self._step(rho, q, ts, tf)
+        if self._step_ext is None:
+            self._step_ext = jax.jit(self._step_impl)
+        return self._step_ext(rho, q, ts, tf, rho_tgt)
 
     # ------------------------------------------------------------------
     def _departure_data(self, ts, tf):
@@ -201,7 +209,7 @@ class IslTransport:
         return jac.reshape(m.ncell, m.np2)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, rho, q, ts, tf):
+    def _step_impl(self, rho, q, ts, tf, rho_tgt_ext=None):
         cfg = self.config
         m = self.mesh
         F = self.F
@@ -214,6 +222,8 @@ class IslTransport:
             ratio = Jdep / m.jac_node
             rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
                 m.ncell, m.np2)
+        elif rho_tgt_ext is not None:
+            rho_tgt = rho_tgt_ext
         else:
             rho_tgt = rho
 
@@ -316,5 +326,25 @@ class IslTransport:
         q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         # --- DSS for tracers (mixing-ratio form; slmmir.cpp:1335-1339).
+        if rho_tgt_ext is not None:
+            # Mixed `isl` method: DSS density and tracer masses together
+            # after the CDR (slmmir.cpp:1335-1339 with dss_rho=true).
+            Q = q_new * rho_tgt[None]
+            rho_out = self._dss(rho_tgt)
+            Q_out = self._dss(Q)
+            q_out = Q_out / jnp.where(rho_out == 0, 1.0, rho_out)[None]
+            # Clip the Q/rho roundoff to the coincident-node range of the
+            # pre-DSS (already bounds-clipped) q - same per-node clip
+            # philosophy as d2c (slmmir_d2c.cpp:108-113); continuity-safe
+            # because the bounds are per continuous node.
+            nt_ = q.shape[0]
+            qf = q_new.reshape(nt_, -1)
+            vals = qf[..., m.c2d_idx]
+            qn_min = jnp.min(jnp.where(m.c2d_mask, vals, jnp.inf), -1)
+            qn_max = jnp.max(jnp.where(m.c2d_mask, vals, -jnp.inf), -1)
+            q_out = jnp.clip(q_out.reshape(nt_, -1),
+                             qn_min[..., self.d2c_map],
+                             qn_max[..., self.d2c_map]).reshape(q_out.shape)
+            return rho_out, q_out
         q_out = self._dss_q(rho_tgt, q_new)
         return rho_tgt, q_out

@@ -100,15 +100,21 @@ def test_golden_ir_qlt_slotted():
 
 
 @pytest.mark.slow
+def test_golden_isl_qlt_ne10():
+    # slmm_runtests.py:119-120: isl np4 ne10 mono=qlt (rho by cell-
+    # integrated remap, tracers by ISL) -> l2 <= 3.47e-1.
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=ICS, method="isl",
+                     filter_="qlt", limiter="mn2", verbose=False)
+    check(out, 3.47e-1)
+
+
+@pytest.mark.slow
 def test_golden_tracer_consistency():
-    # slmm_runtests.py:129-132: constant q with transported rho stays 0.42.
-    # (The reference row uses -method isl with remapped rho; until the
-    # cell-integrated remap lands we use pisl, where rho is ISL-transported -
-    # the tracer-consistency property under test is the same.)
+    # slmm_runtests.py:129-132: constant q with remapped rho stays exactly
+    # 0.42 (-method isl, the reference's strictest consistency row).
     out = driver.run(ne=10, np_=4, nsteps=12, ics=("constant",),
-                     filter_="qlt", limiter="mn2", method="pisl",
+                     filter_="qlt", limiter="mn2", method="isl",
                      verbose=False)
     assert out.l2_err <= 3e-15
     assert out.cv_gll <= 1e-13
-    assert abs(out.min_e - 0.42) < 1e-13
-    assert abs(out.max_e - 0.42) < 1e-13
+    assert out.min_e >= 0.42 and out.max_e <= 0.42
