@@ -87,7 +87,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         basis="GllNodal", nsub=8, dmc="none", lauritzen=False,
         observer_out=None, check_midpoint=False, geom_dtype="f64",
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
-        verbose=True):
+        footprint=False, io_type=None, out_prefix="slmmir_out",
+        write_every=1, vis_res=64, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -114,10 +115,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         # Mixed method: rho by forward cell-integrated remap, tracers by
         # ISL (slmmir.cpp:1314-1322).
         from .transport.ir import IrConfig, IrTransport
-        # The reference's isl rows use -dmc f (Homme mass); enforce the
-        # density remap's local mass equality in the GLL measure so tracer
-        # masses (also measured in GLL) conserve through Q = q*rho.
-        ir_dmc = {"es": "es", "none": "eh", "f": "eh", "eh": "eh"}[dmc]
+        # The reference's isl rows use -dmc f (Homme mass). Default to a
+        # local mass equality in the GLL measure so tracer masses (also
+        # measured in GLL) conserve through Q = q*rho; any explicit dmc
+        # choice (incl. the facet family) passes through.
+        ir_dmc = "eh" if dmc == "none" else dmc
         ir_cfg = IrConfig(ne=ne, np_=np_, method="ir", dmc=ir_dmc,
                           filter="none", limiter="none", nsub=nsub)
         rho_remapper = IrTransport(mesh, wind, ir_cfg)
@@ -165,6 +167,34 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             tc_lat, tc_lon = sphere.xyz2ll(
                 mesh.cell_nodes_xyz.reshape(-1, 3))
 
+    # Per-step field output (-io-type, slmmir.cpp:233-268; NetCDF writer or
+    # the internal binary lat-lon raster via vis.py).
+    writer = None
+    vis_state = None
+    if io_type == "netcdf":
+        from . import io as io_mod
+        writer = io_mod.NetcdfWriter(mesh, out_prefix + ".nc")
+        writer.add_nodal_field("density")
+        for i, n in enumerate(ics):
+            writer.add_nodal_field(f"tracer_{n}{i}")
+        writer.end_definition()
+    elif io_type == "internal":
+        from . import vis
+        lat_g, lon_g = vis.latlon_grid(vis_res, 2 * vis_res)
+        vis_state = (vis, lat_g, lon_g, [])
+
+    def write_fields(t, rho_w, q_w):
+        if writer is not None:
+            writer.advance_time_to(t)
+            writer.write_field("density", rho_w, mesh.dgbfi_sphere)
+            for i, n in enumerate(ics):
+                writer.write_field(f"tracer_{n}{i}", q_w[i],
+                                   mesh.dgbfi_sphere)
+        if vis_state is not None:
+            vis, lat_g, lon_g, frames = vis_state
+            frames.append([np.asarray(vis.sample_field(
+                mesh, f, lat_g, lon_g)) for f in [rho_w] + list(q_w)])
+
     from .diagnostics import LauritzenDiag, Observer
     obs = None
     if observer_out:
@@ -173,10 +203,16 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         obs.add_obs(0.0, rho, list(q))
     ldiag = LauritzenDiag(nsteps, ics, q, F_sph) if lauritzen else None
 
+    if io_type:
+        write_fields(0.0, rho, q)
+
     t_start = time.time()
     for step in range(nsteps):
         ts = dt * step
         tf = T if step == nsteps - 1 else ts + dt
+        if footprint and isinstance(model, IslTransport):
+            fp = model.footprint_stats(ts, tf)
+            print(f"footprint> {fp[0]:2d} {fp[1]:2d} {fp[2]:4.1f} {fp[3]:2d}")
         if toychem_idx is not None:
             i_cl, i_cl2 = toychem_idx
             cl = q[i_cl].reshape(-1)
@@ -213,6 +249,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             obs.add_obs(tf, rho, list(q))
         if ldiag:
             ldiag.run(step, q)
+        if io_type and (step + 1) % max(1, write_every) == 0:
+            write_fields(tf, rho, q)
         if (check_midpoint and nsteps % 2 == 0
                 and step + 1 == nsteps // 2):
             # Midpoint check (slmmir.cpp:1453-1501): compare against one
@@ -231,6 +269,12 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                     print(f"> mp tracer {i} re l2 {l2:9.3e}")
     jnp.asarray(rho).block_until_ready()
     et = (time.time() - t_start) / nsteps
+    if writer is not None:
+        writer.close()
+    if vis_state is not None:
+        vis, lat_g, lon_g, frames = vis_state
+        vis.write_raster(out_prefix + ".bin",
+                         [f for frame in frames for f in frame])
     if obs:
         obs.dump(observer_out)
     if ldiag and verbose:
@@ -269,7 +313,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="compose_tpu transport driver")
     p.add_argument("-method", default="pisl",
                    choices=["pisl", "isl", "pislu", "ir", "cdg"])
-    p.add_argument("-dmc", default="none", choices=["none", "es", "f"])
+    p.add_argument("-dmc", default="none",
+                   choices=["none", "es", "eh", "f", "ef", "geh"])
     p.add_argument("-ode", default="divergent")
     p.add_argument("-ic", action="append", default=None)
     p.add_argument("-ne", type=int, default=10)
@@ -279,7 +324,7 @@ def main(argv=None):
     p.add_argument("-mono", dest="filter_", default="qlt",
                    choices=["qlt", "caas", "mn2", "caas-node", "none"])
     p.add_argument("-lim", dest="limiter", default="mn2",
-                   choices=["mn2", "caas", "caags", "none"])
+                   choices=["mn2", "caas", "caags", "qlt", "none"])
     p.add_argument("-basis", default="GllNodal")
     p.add_argument("-nsub", type=int, default=8)
     p.add_argument("-geom", dest="geom_dtype", default="f64",
@@ -296,6 +341,14 @@ def main(argv=None):
                    action="store_true")
     p.add_argument("-rit", dest="observer_out", default=None,
                    help="record metrics in time to this JSON file")
+    p.add_argument("-footprint", action="store_true",
+                   help="track ISL communication footprints")
+    p.add_argument("-io-type", dest="io_type", default=None,
+                   choices=["netcdf", "internal"])
+    p.add_argument("-o", dest="out_prefix", default="slmmir_out")
+    p.add_argument("-we", dest="write_every", type=int, default=1)
+    p.add_argument("-res", dest="vis_res", type=int, default=64,
+                   help="lat resolution of the internal raster output")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
@@ -304,7 +357,9 @@ def main(argv=None):
         observer_out=a.observer_out, check_midpoint=a.check_midpoint,
         geom_dtype=a.geom_dtype, fitext=a.fitext,
         rotate_grid=a.rotate_grid, timeint=a.timeint,
-        perturb_rho=a.perturb_rho)
+        perturb_rho=a.perturb_rho, footprint=a.footprint,
+        io_type=a.io_type, out_prefix=a.out_prefix,
+        write_every=a.write_every, vis_res=a.vis_res)
 
 
 if __name__ == "__main__":

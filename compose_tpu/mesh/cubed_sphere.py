@@ -265,6 +265,12 @@ def _dgbfi_sphere(corners, bary, qw, np_):
     cc = jnp.concatenate([corners, corners])[:, None, :, :]
     jacq, pq = sphere.tri_jacobian(v1, v2, v3, bary[None, :, :])
     al, be = sqr.sphere_to_ref(cc, pq)
+    # Quadrature points of a valid cell satisfy |a|,|b| <= 1+ulp; a folded
+    # quad (CFL far beyond the method's validity) can make the Newton
+    # diverge, and the overflowed basis products would poison downstream
+    # sums with NaN. Clamp so extreme inputs degrade gracefully instead.
+    al = jnp.clip(al, -2.0, 2.0)
+    be = jnp.clip(be, -2.0, 2.0)
     gi = gll_bas.eval(al)   # (2*ncell, nq, np)
     gj = gll_bas.eval(be)
     out = jnp.einsum('q,cq,cqj,cqi->cji', 0.5 * qw, jacq, gj, gi)

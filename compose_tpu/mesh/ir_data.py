@@ -37,6 +37,15 @@ class IrData:
     chol: jnp.ndarray           # (ncell, np2, np2) Cholesky factors of M
     tq_bary: jnp.ndarray        # (nq, 3)
     tq_w: jnp.ndarray           # (nq,)
+    # Facet-transport extras (Dmc::is_facet, slmmir.hpp:71-76): the mass
+    # matrix becomes the ref-square GLL mass matrix (identical per cell,
+    # CalcM facet branch, slmmir_remap_data.cpp:149-182) and the transported
+    # field is (rho J) with J the ref->sphere node Jacobian
+    # (RemapData::apply_T_cell, slmmir_remap_data.cpp:283-307).
+    chol_ref: jnp.ndarray       # (np2, np2) Cholesky of ref-square mass mat
+    Jt: jnp.ndarray             # (ncell, np2) node Jacobians (slmmir_util
+    #                             .cpp:26-41)
+    gll_w2: jnp.ndarray         # (np2,) tensor GLL weights w_i*w_j
 
 
 _CACHE = {}
@@ -126,6 +135,22 @@ def _build(mesh, tq_order):
         M = M + jnp.einsum('q,cq,cqa,cqb->cab', 0.5 * jqw, jac, phi, phi)
     chol = jnp.linalg.cholesky(M)
 
+    # --- Facet extras: exact ref-square mass matrix (tensor product of the
+    # 1-D Lagrange mass matrix, integrated by Gauss-Legendre of sufficient
+    # order) and node Jacobians of the corner-bilinear sphere map.
+    gx, gw = np.polynomial.legendre.leggauss(np_ + 2)
+    gv = np.asarray(gll.eval(jnp.asarray(gx)))        # (ngauss, np)
+    M1 = np.einsum('q,qa,qb->ab', gw, gv, gv)
+    M_ref = np.kron(M1, M1)                           # (np2, np2), [j*np+i]
+    chol_ref = jnp.linalg.cholesky(jnp.asarray(M_ref))
+    xn = np.asarray(gll.x)
+    A = jnp.asarray(np.tile(xn, np_))                 # (np2,) a coords
+    B = jnp.asarray(np.repeat(xn, np_))               # (np2,) b coords
+    Jt = sqr.bilinear_jacobian_norm(
+        jc[:, None, :, :], A[None, :], B[None, :])    # (ncell, np2)
+    w1 = np.asarray(gll.w)
+    gll_w2 = jnp.asarray(np.repeat(w1, np_) * np.tile(w1, np_))
+
     return IrData(
         vert_xyz=jnp.asarray(vert_xyz),
         cell2vert=jnp.asarray(cell2vert),
@@ -135,4 +160,7 @@ def _build(mesh, tq_order):
         chol=chol,
         tq_bary=jb,
         tq_w=jqw,
+        chol_ref=chol_ref,
+        Jt=Jt,
+        gll_w2=gll_w2,
     )

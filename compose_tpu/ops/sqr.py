@@ -125,8 +125,14 @@ def sphere_to_ref(corners, q, max_its: int = 10, tol: float = None,
         r = s - q
         active = sphere.norm2(r) > tol2
         da, db = _solve_Jxr(sa, sb, r)
-        a = jnp.where(active, a - da, a)
-        b = jnp.where(active, b - db, b)
+        # Bound the iterates: every legitimate query point inverts to
+        # |a|,|b| <~ 1.5 of its element, but a folded/degenerate quad (CFL
+        # far beyond validity) makes the iteration diverge, and once an
+        # iterate overflows the next Jacobian turns NaN - which poisons
+        # masked downstream sums. The bound never binds for real solves.
+        lim = 1e3
+        a = jnp.clip(jnp.where(active, a - da, a), -lim, lim)
+        b = jnp.clip(jnp.where(active, b - db, b), -lim, lim)
         return a, b
 
     return jax.lax.fori_loop(0, max_its, body, (a, b))

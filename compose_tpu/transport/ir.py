@@ -1,8 +1,9 @@
 """Cell-integrated remap (IR / CDG) transport, TPU-native.
 
 Counterpart of /root/reference/methods/slmm/slmmir_remapper.cpp (calc_T_fwd,
-fill_T_fwd_sphere, project_nolimiter / project_and_limit_cdr) and
-slmmir_remap_data.cpp (RemapData::remap, FullMassMatrix). Per step:
+fill_T_fwd_sphere, fill_T_fwd_facet, project_nolimiter /
+project_and_limit_cdr) and slmmir_remap_data.cpp (RemapData::remap,
+FullMassMatrix). Per step:
 
   1. advect the deduplicated cell-corner vertices FORWARD ts->tf
      (slmmir.cpp:1291-1295, fwd stepping for cell-integrated methods);
@@ -10,15 +11,31 @@ slmmir_remap_data.cpp (RemapData::remap, FullMassMatrix). Per step:
      table, clip the advected source quad against the Eulerian target cell
      (batched Sutherland-Hodgman, ops/clip.py), fan-triangulate, and
      accumulate the np^2 x np^2 mixed-mass-matrix block by triangle
-     quadrature with two batched Newton inverse maps per point
-     (fill_T_fwd_sphere, :369-463);
+     quadrature. Two integration geometries:
+       - sphere (dmc none/es/eh/geh): quadrature on the spherical overlap
+         with two batched Newton inverse maps per point
+         (fill_T_fwd_sphere, :369-463);
+       - facet (dmc f/ef): Newton inverse maps only at the overlap
+         VERTICES, then planar quadrature in the reference square; the
+         transported field becomes (rho J) with J the ref->sphere node
+         Jacobian, and the mass matrix becomes the ref-square GLL mass
+         matrix (fill_T_fwd_facet, :244-367; apply_T_cell,
+         slmmir_remap_data.cpp:283-307);
   3. density factor FsmoFtm = (Eulerian src basis integrals) / (advected
-     src basis integrals) for IR (:731-757); CDG instead multiplies the
-     Jacobian ratio inside the quadrature;
+     src basis integrals) for IR (:731-757; facet: GLL weights over T
+     column sums, :734-750); CDG instead multiplies the Jacobian ratio
+     inside the quadrature (sphere) or integrates in source ref coords
+     (facet);
   4. project: per-cell y = sum_cand T_block . (src * FsmoFtm), then a
-     Cholesky solve with the full mass matrix; optional per-cell equality
-     constraint on the local source-share mass (solve_1eq_ls,
-     slmmir_remap_data.cpp:78-116) for -dmc es;
+     Cholesky solve with the full mass matrix; DMC options
+     (Dmc, slmmir.hpp:13-77):
+       none - plain M^{-1} T;
+       es/eh/ef - per-cell mass equality constraint (solve_1eq_ls,
+         slmmir_remap_data.cpp:78-116) in the sphere (es) or Homme/GLL
+         (eh, ef) mass measure;
+       f - facet transport alone (exact-arithmetic DMC);
+       geh - one GLOBAL mass equality constraint in the Homme measure
+         (RemapData::remap, slmmir_remap_data.cpp:371-400);
   5. optional CDR: per-cell q bounds from the T-graph neighborhood, global
      mass redistribution (zero net discrepancy), cell-local limiter
      (project_and_limit_cdr, :566-647).
@@ -39,14 +56,17 @@ from ..ops import clip, sphere, sqr
 from ..ops.reduce import bfb_sum
 from . import dss, limiter as limiter_mod, spf, timeint
 
+_EQ_LOCAL = ("es", "eh", "ef")       # Dmc::is_locally_constrained
+_FACET = ("f", "ef")                 # Dmc::is_facet
+_HOMME_MASS = ("eh", "geh", "f", "ef")   # Dmc::use_homme_mass
+
 
 @dataclasses.dataclass(frozen=True)
 class IrConfig:
     ne: int
     np_: int = 4
     method: str = "ir"           # ir | cdg
-    dmc: str = "none"            # none | es (equality-sphere) | eh
-    #                              (equality in the Homme/GLL mass measure)
+    dmc: str = "none"            # none | es | eh | f | ef | geh
     filter: str = "none"         # global CDR: qlt | caas | mn2 | none
     limiter: str = "mn2"
     nsub: int = 8
@@ -61,10 +81,11 @@ class IrTransport:
         self.wind = wind
         self.ird = ir_data.build(mesh)
         self.gll = basis_mod.GLL(config.np_)
+        self.facet = config.dmc in _FACET
         self.F_sphere = mesh.dgbfi_sphere
-        # dgbfi_mass: sphere integrals for none/es, Homme (GLL) mass for eh
+        # dgbfi_mass: sphere integrals vs Homme (GLL) mass
         # (Dmc::use_homme_mass, slmmir.hpp:74-76).
-        self.F_mass = (mesh.dgbfi_gll if config.dmc == "eh"
+        self.F_mass = (mesh.dgbfi_gll if config.dmc in _HOMME_MASS
                        else mesh.dgbfi_sphere)
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
         if config.filter != "none":
@@ -92,23 +113,11 @@ class IrTransport:
         adv_cells = adv_vert[self.ird.cell2vert]
         pair_src, pair_tgt, pair_mask = self._pairs(adv_cells)
         T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
-        FsmoFtm = (self._fsmoftm(adv_cells) if cfg.method == "ir"
-                   else jnp.ones_like(rho))
-        y = self._apply_T(T, pair_src, pair_tgt, pair_mask, rho * FsmoFtm)
-        if cfg.dmc in ("es", "eh"):
-            # Per-cell mass equality in the chosen measure: target = this
-            # cell's share of each source basis function's mass.
-            colsum = jax.ops.segment_sum(ps_raw, pair_src,
-                                         num_segments=m.ncell)
-            cs = colsum[pair_src]
-            ps = ps_raw / jnp.where(cs == 0, 1.0, cs)
-            xs = rho[pair_src]
-            xs = jnp.where(pair_mask[..., None], xs, 0.0)
-            dp = jnp.einsum('pi,pi,pi->p', ps, self.F_mass[pair_src], xs)
-            d = jax.ops.segment_sum(dp, pair_tgt, num_segments=m.ncell)
-            rho_tgt = self._solve_1eq_ls(y, self.F_mass, d)
-        else:
-            rho_tgt = self._mass_solve(y)
+        FsmoFtm = (self._fsmoftm(adv_cells, T, pair_src)
+                   if cfg.method == "ir" else jnp.ones_like(rho))
+        ps = self._normalize_ps(ps_raw, pair_src)
+        rho_tgt = self._project(T, ps, pair_src, pair_tgt, pair_mask,
+                                rho, FsmoFtm)
         return limiter_mod.limit_density(
             self.F_mass, rho_tgt, jnp.zeros(m.ncell))
 
@@ -146,6 +155,7 @@ class IrTransport:
         bary = ird.tq_bary
         qw = ird.tq_w
         is_cdg = cfg.method == "cdg"
+        facet = self.facet
 
         def pair_fn(args):
             tci, sci, pmask = args
@@ -160,6 +170,68 @@ class IrTransport:
             vo, no = clip.clip_against_poly(tgt_v, tgt_nml, poly0, n0)
             T = jnp.zeros(tci.shape + (np2, np2))
             ps = jnp.zeros(tci.shape + (np2,))
+
+            if facet:
+                # fill_T_fwd_facet (slmmir_remapper.cpp:244-367): Newton
+                # inverse maps at the overlap VERTICES only, then planar
+                # triangle quadrature in the reference square(s).
+                valid = (jnp.arange(clip.MAX_NVERT)[None, :]
+                         < no[..., None])                  # (B, 8)
+                ctr = sphere.normalize(jnp.mean(tgt_v, axis=-2))
+                von = jnp.where(valid[..., None], vo,
+                                ctr[..., None, :])
+                # Guarded normalize: a degenerate clip of a folded source
+                # quad can emit a (near-)zero vertex; 0/0 would NaN the
+                # whole pair even though its triangles are masked.
+                von = von / jnp.maximum(
+                    sphere.norm(von)[..., None], jnp.finfo(von.dtype).tiny)
+                # "The global mass is sensitive to the quality of the
+                # following nonlinear solves" (:289-299): tol = eps.
+                ftol = 2.220446049250313e-16
+                tva, tvb = sqr.sphere_to_ref(
+                    tgt_corners[..., None, :, :], von,
+                    max_its=15, tol=ftol)                  # (B, 8)
+                sva, svb = sqr.sphere_to_ref(
+                    src_v[..., None, :, :], von, max_its=15, tol=ftol)
+                # Empty-overlap lanes feed the Newton a far-away point and
+                # can diverge; true overlap vertices are inside both
+                # elements (|a|,|b| <= 1+ulp), so clamping only touches
+                # lanes that the act mask zeroes - and keeps the masked
+                # basis products finite (inf * 0 would poison the sum).
+                clamp = lambda u: jnp.clip(u, -2.0, 2.0)
+                tva, tvb, sva, svb = map(clamp, (tva, tvb, sva, svb))
+                # Integration coords: target ref square for IR ("just a
+                # projection"), source ref square for CDG (:309-318).
+                ja, jb_ = (sva, svb) if is_cdg else (tva, tvb)
+                for k in range(1, clip.MAX_NVERT - 1):
+                    act = (k + 1) < no                     # (B,)
+                    tri2 = ((ja[..., k] - ja[..., 0])
+                            * (jb_[..., k + 1] - jb_[..., 0])
+                            - (jb_[..., k] - jb_[..., 0])
+                            * (ja[..., k + 1] - ja[..., 0]))
+                    d0 = 0.5 * tri2[..., None] * qw[None, :]  # (B, nq)
+                    d0 = jnp.where(act[..., None], d0, 0.0)
+                    # Quadrature points by linear barycentric interpolation
+                    # of the ref-coordinates of the triangle's vertices.
+                    def bary_pts(u):
+                        tri = jnp.stack(
+                            [u[..., 0], u[..., k], u[..., k + 1]],
+                            axis=-1)                       # (B, 3)
+                        return jnp.einsum('qv,bv->bq', bary, tri)
+                    ta, tb = bary_pts(tva), bary_pts(tvb)
+                    sa, sb = bary_pts(sva), bary_pts(svb)
+                    tgi = self.gll.eval(ta)                # (B, nq, np)
+                    tgj = self.gll.eval(tb)
+                    sgi = self.gll.eval(sa)
+                    sgj = self.gll.eval(sb)
+                    tphi = (tgj[..., :, None]
+                            * tgi[..., None, :]).reshape(ta.shape + (np2,))
+                    sphi = (sgj[..., :, None]
+                            * sgi[..., None, :]).reshape(sa.shape + (np2,))
+                    T = T + jnp.einsum('bq,bqa,bqc->bac', d0, tphi, sphi)
+                    ps = ps + jnp.einsum('bq,bqc->bc', d0, sphi)
+                return T, ps
+
             for k in range(1, clip.MAX_NVERT - 1):
                 act = (k + 1) < no                         # (B,)
                 jac, pq = sphere.tri_jacobian(
@@ -170,6 +242,13 @@ class IrTransport:
                 ta, tb = sqr.sphere_to_ref(
                     tgt_corners[..., None, :, :], pq)
                 sa, sb = sqr.sphere_to_ref(src_v[..., None, :, :], pq)
+                # Degenerate lanes (empty overlap, or a folded advected quad
+                # under extreme deformation) can make the Newton diverge;
+                # genuine overlap points satisfy |a|,|b| <= 1+ulp, so the
+                # clamp only touches lanes the act/d0 masks zero - and keeps
+                # the masked basis products finite (inf * 0 -> NaN).
+                clamp = lambda u: jnp.clip(u, -2.0, 2.0)
+                ta, tb, sa, sb = map(clamp, (ta, tb, sa, sb))
                 d0 = 0.5 * qw[None, :] * jac
                 if is_cdg:
                     # CDG: Jacobian ratio Euler/advected at the src ref
@@ -207,14 +286,30 @@ class IrTransport:
         ps = psc.reshape(-1, np2)[:P]
         return T, ps
 
-    def _fsmoftm(self, adv_cells):
+    def _fsmoftm(self, adv_cells, T=None, pair_src=None):
         """IR density factor: Eulerian / advected source basis integrals
-        per DGLL node (slmmir_remapper.cpp:751-757)."""
+        per DGLL node (slmmir_remapper.cpp:751-757). Facet variant
+        (:734-750): advected integral = T column sum; Eulerian integral =
+        tensor GLL weight."""
         m = self.mesh
+        if self.facet:
+            colsum_p = jnp.sum(T, axis=-2)                  # (P, np2)
+            colsum = jax.ops.segment_sum(colsum_p, pair_src,
+                                         num_segments=m.ncell)
+            colsum = jnp.where(colsum == 0, 1.0, colsum)
+            return self.ird.gll_w2[None, :] / colsum
         F_adv = cubed_sphere._dgbfi_sphere(
             adv_cells, self.ird.tq_bary, self.ird.tq_w, m.np_
         ).reshape(m.ncell, m.np2)
         return self.F_sphere / F_adv
+
+    def _normalize_ps(self, ps_raw, pair_src):
+        """Normalize p_s_ol columns to source shares (finish_p_s_ol,
+        slmmir_remapper.cpp:170-205)."""
+        colsum = jax.ops.segment_sum(ps_raw, pair_src,
+                                     num_segments=self.mesh.ncell)
+        cs = colsum[pair_src]
+        return ps_raw / jnp.where(cs == 0, 1.0, cs)
 
     def _apply_T(self, T, pair_src, pair_tgt, pair_mask, x):
         """y_tgt = sum over pairs with this target of T_pair @ x[src]
@@ -226,10 +321,19 @@ class IrTransport:
         y = jax.ops.segment_sum(cm, pair_tgt, num_segments=self.mesh.ncell)
         return jnp.moveaxis(y, 0, -2)
 
+    def _chol(self):
+        """Per-cell Cholesky factors: ref-square (shared) for facet
+        transport, spherical-cell M otherwise."""
+        if self.facet:
+            return jnp.broadcast_to(
+                self.ird.chol_ref,
+                (self.mesh.ncell,) + self.ird.chol_ref.shape)
+        return self.ird.chol
+
     def _mass_solve(self, y):
         """Per-cell M^{-1} y via the precomputed Cholesky factors; batched
         over leading dims of y (..., ncell, np2)."""
-        L = self.ird.chol
+        L = self._chol()
         yy = jnp.moveaxis(y, -2, 0)  # (ncell, ..., np2)
         sol = jax.vmap(
             lambda Lc, yc: jax.scipy.linalg.cho_solve(
@@ -241,8 +345,9 @@ class IrTransport:
         """Equality-constrained per-cell solve (FullMassMatrix::solve_1eq_ls,
         slmmir_remap_data.cpp:78-116): minimize ||L^{-T}(...)|| s.t.
         c' x = d, where M = L L'. y: (..., ncell, np2) RHS (= T src);
-        c: (ncell, np2) constraint vector (dgbfi_mass); d: (..., ncell)."""
-        L = self.ird.chol
+        c: (ncell, np2) constraint vector (dgbfi_mass; divided by Jt in the
+        facet case, init_dgbfi_mass :250-256); d: (..., ncell)."""
+        L = self._chol()
         lower = partial(jax.scipy.linalg.solve_triangular, lower=True)
         s = jax.vmap(lambda Lc, cc: lower(Lc, cc))(L, c)      # L s = c
         a1 = jax.vmap(
@@ -259,6 +364,62 @@ class IrTransport:
                 xc.shape))(L, jnp.moveaxis(x1, -2, 0))
         return jnp.moveaxis(x, 0, -2)
 
+    def _solve_glbl_eq(self, y, x_src):
+        """Single GLOBAL mass equality constraint (dmc geh; RemapData::remap,
+        slmmir_remap_data.cpp:371-400): forward-substitute per cell, shift
+        along L^{-1}F to match the global source mass, back-substitute."""
+        L = self.ird.chol
+        F = self.F_mass
+        lower = partial(jax.scipy.linalg.solve_triangular, lower=True)
+        s = jax.vmap(lambda Lc, cc: lower(Lc, cc))(L, F)      # (ncell, np2)
+        z = jax.vmap(
+            lambda Lc, yc: lower(Lc, yc.reshape(-1, yc.shape[-1]).T).T.reshape(
+                yc.shape))(L, jnp.moveaxis(y, -2, 0))
+        z = jnp.moveaxis(z, 0, -2)                            # (..., nc, np2)
+        mass = bfb_sum((F * x_src).reshape(x_src.shape[:-2] + (-1,)))
+        a2 = mass - jnp.sum(s * z, axis=(-2, -1))
+        s2 = jnp.sum(s * s)
+        mu = a2 / s2
+        z = z + mu[..., None, None] * s
+        upperT = partial(jax.scipy.linalg.solve_triangular, lower=True,
+                         trans='T')
+        x = jax.vmap(
+            lambda Lc, xc: upperT(Lc, xc.reshape(-1, xc.shape[-1]).T).T.reshape(
+                xc.shape))(L, jnp.moveaxis(z, -2, 0))
+        return jnp.moveaxis(x, 0, -2)
+
+    def _project(self, T, ps, pair_src, pair_tgt, pair_mask, x, FsmoFtm):
+        """remap_cell / remap (slmmir_remap_data.cpp:333-406) for one field
+        batch x (..., ncell, np2)."""
+        cfg, m = self.config, self.mesh
+        xin = x * FsmoFtm if cfg.method == "ir" else x
+        if self.facet:
+            # Source field from the transport method's perspective is
+            # (Q J) (apply_T_cell :283-307).
+            xin = xin * self.ird.Jt
+        y = self._apply_T(T, pair_src, pair_tgt, pair_mask, xin)
+        if cfg.dmc in _EQ_LOCAL:
+            # Local mass target = this cell's share of each source basis
+            # function's mass (remap_cell, slmmir_remap_data.cpp:340-357).
+            xs = x[..., pair_src, :]
+            xs = jnp.where(pair_mask[..., None], xs, 0.0)
+            dp = jnp.einsum('pi,pi,...pi->...p', ps,
+                            self.F_mass[pair_src], xs)
+            dpm = jnp.moveaxis(dp, -1, 0)
+            d = jnp.moveaxis(jax.ops.segment_sum(
+                dpm, pair_tgt, num_segments=m.ncell), 0, -1)
+            # Facet: remove J_ref^sphere from the constraint vector because
+            # it is part of the field (init_dgbfi_mass :250-256).
+            c = self.F_mass / self.ird.Jt if self.facet else self.F_mass
+            out = self._solve_1eq_ls(y, c, d)
+        elif cfg.dmc == "geh":
+            out = self._solve_glbl_eq(y, x)
+        else:
+            out = self._mass_solve(y)
+        if self.facet:
+            out = out / self.ird.Jt
+        return out
+
     # ------------------------------------------------------------------
     def _step_impl(self, rho, q, ts, tf):
         cfg = self.config
@@ -270,30 +431,14 @@ class IrTransport:
         T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
 
         if cfg.method == "ir":
-            FsmoFtm = self._fsmoftm(adv_cells)
+            FsmoFtm = self._fsmoftm(adv_cells, T, pair_src)
         else:
             FsmoFtm = jnp.ones_like(rho)
-
-        # Normalize p_s_ol columns to source shares (finish_p_s_ol,
-        # slmmir_remapper.cpp:170-205).
-        colsum = jax.ops.segment_sum(ps_raw, pair_src, num_segments=m.ncell)
-        cs = colsum[pair_src]
-        ps = ps_raw / jnp.where(cs == 0, 1.0, cs)
+        ps = self._normalize_ps(ps_raw, pair_src)
 
         def project(x):
-            y = self._apply_T(T, pair_src, pair_tgt, pair_mask, x * FsmoFtm)
-            if cfg.dmc in ("es", "eh"):
-                # Local mass target = this cell's share of each source basis
-                # function's mass (remap_cell, slmmir_remap_data.cpp:340-357).
-                xs = x[..., pair_src, :]
-                xs = jnp.where(pair_mask[..., None], xs, 0.0)
-                dp = jnp.einsum('pi,pi,...pi->...p', ps,
-                                self.F_mass[pair_src], xs)
-                dpm = jnp.moveaxis(dp, -1, 0)
-                d = jnp.moveaxis(jax.ops.segment_sum(
-                    dpm, pair_tgt, num_segments=m.ncell), 0, -1)
-                return self._solve_1eq_ls(y, self.F_mass, d)
-            return self._mass_solve(y)
+            return self._project(T, ps, pair_src, pair_tgt, pair_mask,
+                                 x, FsmoFtm)
 
         # Transport Q = rho * q (the driver passes mixing ratios; cell-
         # integrated methods remap tracer masses, slmmir.cpp:1168-1176).

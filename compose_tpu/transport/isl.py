@@ -208,6 +208,27 @@ class IslTransport:
         jac = sphere.norm(sphere.cross(ua, ub))
         return jac.reshape(m.ncell, m.np2)
 
+    def footprint_stats(self, ts, tf):
+        """ISL communication-footprint statistics for the step ts->tf
+        (FootprintTracker, slmmir_remapper_isl.cpp:291-355): per target
+        cell, the number of departure nodes whose source cell is foreign,
+        plus 2 per unique foreign source cell (the min/max of the source
+        element); returns (min, median, mean, max) over cells."""
+        import numpy as np
+        m = self.mesh
+        _, ci, _ = self._departure_data(ts, tf)
+        node_src = np.asarray(ci)[np.asarray(self.d2c_map)].reshape(
+            m.ncell, m.np2)
+        tgt = np.arange(m.ncell)[:, None]
+        out = node_src != tgt
+        nout = out.sum(axis=1)
+        s = np.sort(np.where(out, node_src, -1), axis=1)
+        nuniq = ((s[:, 1:] != s[:, :-1]) & (s[:, 1:] >= 0)).sum(axis=1)
+        nuniq = nuniq + (s[:, 0] >= 0)
+        nout = nout + 2 * nuniq
+        med = np.partition(nout, len(nout) // 2)[len(nout) // 2]
+        return int(nout.min()), int(med), float(nout.mean()), int(nout.max())
+
     # ------------------------------------------------------------------
     def _step_impl(self, rho, q, ts, tf, rho_tgt_ext=None):
         cfg = self.config

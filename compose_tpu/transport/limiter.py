@@ -4,15 +4,178 @@ Counterpart of /root/reference/methods/slmm/slmmir_mono_data.{hpp,cpp}. The
 reference loops cells and calls a per-cell QP; here every cell's limiter runs
 in one vectorized call (the QP solvers in ops/local_qp.py broadcast over
 leading axes). Limiter types: 'mn2' (solve_1eq_bc_qp), 'caas'
-(clip_and_sum), 'caags' (clip_and_weighted_sum).
+(clip_and_sum), 'caags' (clip_and_weighted_sum), 'qlt' (tensor-2d local
+QLT tree over the np x np nodes of a cell,
+/root/reference/methods/slmm/slmm_spf_lqlt.cpp).
 """
 
+import math
+import re
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import local_qp
+
+# ---------------------------------------------------------------------------
+# Local tensor-2d QLT (slmm_spf_lqlt.cpp). A 1-D tree over the np GLL indices
+# (tree_desc, :8-24) is crossed with itself (make_tensor2d_tree,
+# slmm_array_tree.cpp:92-126) to give a static tree over the np^2 cell DOFs;
+# the limiter then runs the QLT pattern on it: leaf-to-root aggregation of
+# (lo-mass, hi-mass, mass) and root-to-leaf mass splitting via
+# solve_1eq_bc_qp at every node. Because the aggregates are plain sums over
+# each node's DOF support, the l2r sweep here is one masked matmul, and the
+# r2l sweep is one batched QP per (level, kid-count) group - O(depth) fused
+# kernels for ALL cells and tracers at once.
+
+_TREE_DESC = {
+    4: "((0 1) (2 3))",
+    7: "((0 1) (2 3 4) (5 6))",
+    8: "(((0 1) (2 3)) ((4 5) (6 7)))",
+    10: "(((0 1) (2 3)) (4 5) ((6 7) (8 9)))",
+    11: "(((0 1) (2 3)) (4 5 6) ((7 8) (9 10)))",
+    12: "(((0 1) (2 3 4)) (5 6) ((7 8 9) (10 11)))",
+    13: "(((0 1) (2 3 4)) (5 6 7) ((8 9 10) (11 12)))",
+    16: "((((0 1) (2 3)) ((4 5) (6 7))) "
+        "(((8 9) (10 11)) ((12 13) (14 15))))",
+}
+
+
+def _parse_desc(desc):
+    tokens = re.findall(r"[()]|\d+", desc)
+    def parse(it):
+        node = []
+        for tok in it:
+            if tok == "(":
+                node.append(parse(it))
+            elif tok == ")":
+                return node
+            else:
+                node.append(int(tok))
+        return node
+    it = iter(tokens)
+    next(it)  # leading '('
+    return parse(it)
+
+
+def _is_interior(nd):
+    return any(isinstance(e, list) for e in nd)
+
+
+def _tensor2d(n, x, y):
+    """make_tensor2d_tree (slmm_array_tree.cpp:92-114)."""
+    xi, yi = _is_interior(x), _is_interior(y)
+    if xi:
+        kids = []
+        for xk in x:
+            if yi:
+                kids += [_tensor2d(n, xk, yk) for yk in y]
+            else:
+                kids.append(_tensor2d(n, xk, y))
+        return kids
+    if yi:
+        return [_tensor2d(n, x, yk) for yk in y]
+    return [n * iy + ix for iy in y for ix in x]
+
+
+class _Lqlt2dTree:
+    """Flattened static tensor-2d tree for one np."""
+
+    def __init__(self, np_):
+        root = _tensor2d(np_, _parse_desc(_TREE_DESC[np_]),
+                         _parse_desc(_TREE_DESC[np_]))
+        np2 = np_ * np_
+        self.kids = []       # per node: kid node ids (interior) or None
+        self.dofs = []       # per node: DOF list (leaf) or None
+        self.depth = []
+        def rec(nd, depth):
+            idx = len(self.kids)
+            self.kids.append(None)
+            self.dofs.append(None)
+            self.depth.append(depth)
+            if _is_interior(nd):
+                self.kids[idx] = [rec(k, depth + 1) for k in nd]
+            else:
+                self.dofs[idx] = list(nd)
+            return idx
+        rec(root, 0)
+        nnode = len(self.kids)
+        memb = np.zeros((nnode, np2))
+        for i in reversed(range(nnode)):
+            if self.dofs[i] is not None:
+                memb[i, self.dofs[i]] = 1.0
+            else:
+                for k in self.kids[i]:
+                    memb[i] += memb[k]
+        assert np.all(memb[0] == 1.0)
+        self.memb = jnp.asarray(memb)
+        # Interior nodes grouped by (depth, nkids); leaves by ndofs.
+        self.int_groups = []  # list of (node_ids (g,), kid_ids (g, k))
+        for d in range(max(self.depth) + 1):
+            byk = {}
+            for i in range(nnode):
+                if self.depth[i] == d and self.kids[i] is not None:
+                    byk.setdefault(len(self.kids[i]), []).append(i)
+            for k, ids in sorted(byk.items()):
+                self.int_groups.append(
+                    (np.asarray(ids), np.asarray([self.kids[i] for i in ids])))
+        byd = {}
+        for i in range(nnode):
+            if self.dofs[i] is not None:
+                byd.setdefault(len(self.dofs[i]), []).append(i)
+        self.leaf_groups = [
+            (np.asarray(ids), np.asarray([self.dofs[i] for i in ids]))
+            for _, ids in sorted(byd.items())]
+
+
+_LQLT_TREES = {}
+
+
+def _get_lqlt_tree(np_):
+    if np_ not in _LQLT_TREES:
+        _LQLT_TREES[np_] = (_Lqlt2dTree(np_) if np_ in _TREE_DESC else None)
+    return _LQLT_TREES[np_]
+
+
+def _local_qlt_tensor2d(a, b, xlo, xhi, y):
+    """local_qlt_tensor2d_run (slmm_spf_lqlt.cpp:162-173), batched over all
+    leading dims. a: (..., np2) per-DOF masses; b: (...,) target mass;
+    xlo/xhi/y: (..., np2)."""
+    np2 = y.shape[-1]
+    np_ = math.isqrt(np2)
+    tree = _get_lqlt_tree(np_) if np_ * np_ == np2 else None
+    if tree is None:
+        # No tree for this np (tree_desc returns nullptr): plain n-dim QP.
+        x, _ = local_qp.solve_1eq_bc_qp(a, a, b, xlo, xhi, y)
+        return x
+    memb = tree.memb
+    lmass = jnp.einsum('...i,ni->...n', a * xlo, memb)
+    hmass = jnp.einsum('...i,ni->...n', a * xhi, memb)
+    ymass = jnp.einsum('...i,ni->...n', a * y, memb)
+    mass = jnp.zeros(b.shape + (memb.shape[0],), y.dtype)
+    mass = mass.at[..., 0].set(b)
+    for node_ids, kid_ids in tree.int_groups:
+        nb = mass[..., node_ids]                       # (..., g)
+        kl = lmass[..., kid_ids]                       # (..., g, k)
+        kh = hmass[..., kid_ids]
+        ky = ymass[..., kid_ids]
+        ones = jnp.ones_like(kl)
+        xk, _ = local_qp.solve_1eq_bc_qp(ones, ones, nb, kl, kh, ky)
+        mass = mass.at[..., kid_ids.reshape(-1)].set(
+            xk.reshape(xk.shape[:-2] + (-1,)))
+    out = jnp.zeros_like(y)
+    for leaf_ids, dof_ids in tree.leaf_groups:
+        lb = mass[..., leaf_ids]                       # (..., g)
+        la = a[..., dof_ids]                           # (..., g, d)
+        ll = xlo[..., dof_ids]
+        lh = xhi[..., dof_ids]
+        ly = y[..., dof_ids]
+        xs, _ = local_qp.solve_1eq_bc_qp(la, la, lb, ll, lh, ly)
+        out = out.at[..., dof_ids.reshape(-1)].set(
+            xs.reshape(xs.shape[:-2] + (-1,)))
+    return out
 
 
 def _spf_run(limiter, w, a, b, xlo, xhi, y):
@@ -23,6 +186,8 @@ def _spf_run(limiter, w, a, b, xlo, xhi, y):
         return local_qp.clip_and_sum(a, b, xlo, xhi, y)
     if limiter == "caags":
         return local_qp.clip_and_weighted_sum(a, b, xlo, xhi, y)
+    if limiter == "qlt":
+        return _local_qlt_tensor2d(a, b, xlo, xhi, y)
     raise ValueError(f"unknown limiter {limiter}")
 
 

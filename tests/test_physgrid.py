@@ -62,3 +62,37 @@ def test_limiter_bounds(setup):
     qmax = jnp.max(q, axis=-1)
     assert float(jnp.max(q_p - qmax[..., None])) < 1e-12
     assert float(jnp.min(q_p - qmin[..., None])) > -1e-12
+
+
+@pytest.mark.parametrize("typ", ["l2", "l2ep", "elrecon"])
+@pytest.mark.parametrize("nphys", [2, 3, 4])
+def test_fv2gll_variants_constant_and_mass(typ, nphys):
+    """All Fv2Gll variants (Fv2Gll::Type, slmmir_physgrid.hpp:56-68)
+    reproduce constants exactly and conserve total element mass in
+    reference coordinates."""
+    mesh = build(3, 4)
+    ops = PhysgridOps(mesh, nphys, typ)
+    op = np.asarray(ops.op_p_to_d)
+    nf2 = nphys * nphys
+    d1 = op @ np.ones(nf2)
+    assert np.abs(d1 - 1.0).max() < 1e-13
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0.5, 2.0, nf2)
+    d = op @ p
+    m_fv = (4.0 / nf2) * p.sum()
+    m_gll = (ops.w_dd * d).sum()
+    assert abs(m_gll - m_fv) / m_fv < 1e-13
+
+
+def test_fv2gll_l2ep_perimeter_mass():
+    """l2ep's defining constraint: the intermediate reconstruction
+    conserves each PERIMETER subcell's mass (slmmir_physgrid.cpp:460-487).
+    With nphys=2 every subcell is perimeter, so the full GLL result's
+    subcell masses match the FV input exactly."""
+    mesh = build(3, 4)
+    ops = PhysgridOps(mesh, 2, "l2ep")
+    rng = np.random.default_rng(1)
+    p = rng.uniform(0.5, 2.0, 4)
+    d = np.asarray(ops.op_p_to_d) @ p
+    sub = np.asarray(ops.M_dp).T @ d          # subcell integrals of d
+    assert np.abs(sub - p).max() < 1e-12

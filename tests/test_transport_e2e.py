@@ -118,3 +118,29 @@ def test_golden_tracer_consistency():
     assert out.l2_err <= 3e-15
     assert out.cv_gll <= 1e-13
     assert out.min_e >= 0.42 and out.max_e <= 0.42
+
+
+def test_ir_dmc_variants_conservation():
+    """The DMC family (Dmc, slmmir.hpp:13-77): each variant conserves mass
+    in its own measure - es exactly in the sphere measure, eh/ef in the
+    GLL (Homme) measure via per-cell equality, f by facet transport alone
+    (a few ulps), geh by one global equality constraint."""
+    out = driver.run(ne=4, np_=4, nsteps=6, ics=("gaussianhills",),
+                     method="ir", dmc="ef", filter_="none", limiter="none",
+                     verbose=False)
+    assert out.cv_gll < 5e-14
+    assert out.l2_err < 0.2
+    out = driver.run(ne=4, np_=4, nsteps=6, ics=("gaussianhills",),
+                     method="ir", dmc="geh", filter_="none", limiter="none",
+                     verbose=False)
+    assert out.cv_gll < 1e-13
+    assert out.l2_err < 0.2
+
+
+def test_pisl_local_qlt_limiter():
+    """Cell-local tensor-2d QLT limiter (-lim qlt) preserves bounds and
+    mass through a short pisl run."""
+    out = driver.run(ne=4, np_=4, nsteps=3, ics=("cosinebells",),
+                     filter_="caas", limiter="qlt", verbose=False)
+    assert out.max_step_bounds_err == 0.0
+    assert out.cv_gll < 5e-14
