@@ -88,7 +88,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         observer_out=None, check_midpoint=False, geom_dtype="f64",
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
-        write_every=1, vis_res=64, verbose=True):
+        write_every=1, vis_res=64, prefine=0, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -106,7 +106,17 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate)
     wind = gallery.create_wind(ode)
     rho_remapper = None
-    if method in ("ir", "cdg"):
+    if prefine in (1, 5):
+        # P-refinement experiments (slmmir -prefine, slmmir.cpp:106-115):
+        # np=4 v-grid density + p-refined tracer grid. Experiment 5's
+        # primary (IC/diagnostic) grid is the v-grid.
+        from .transport.prefine import PRefineConfig, PRefineTransport
+        cfg = PRefineConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
+                            limiter=limiter, experiment=prefine, nsub=nsub)
+        model = PRefineTransport(mesh, wind, cfg)
+        if prefine == 5:
+            mesh = model.mesh_v
+    elif method in ("ir", "cdg"):
         from .transport.ir import IrConfig, IrTransport
         cfg = IrConfig(ne=ne, np_=np_, method=method, dmc=dmc,
                        filter=filter_, limiter=limiter, nsub=nsub)
@@ -148,6 +158,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
 
     F_gll = mesh.dgbfi_gll.reshape(-1)
     F_sph = mesh.dgbfi_sphere.reshape(-1)
+    if prefine == 1:
+        # Experiment 1's fine grid carries the pref-modified Homme mass
+        # (fine-basis weights x interpolated v Jacobians,
+        # calc_pref_gll_quantities) - the measure its CDR conserves.
+        F_gll = model.F_f.reshape(-1)
 
     max_step_mass_err = 0.0
     max_step_bounds_err = 0.0
@@ -206,6 +221,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     if io_type:
         write_fields(0.0, rho, q)
 
+    pref_state = None
     t_start = time.time()
     for step in range(nsteps):
         ts = dt * step
@@ -221,7 +237,9 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                                                    dt)
             q = q.at[i_cl].add((dt * cl_f).reshape(q[i_cl].shape))
             q = q.at[i_cl2].add((dt * cl2_f).reshape(q[i_cl2].shape))
-        if rho_remapper is not None:
+        if prefine in (1, 5):
+            rho, q, pref_state = model.step(rho, q, ts, tf, pref_state)
+        elif rho_remapper is not None:
             rho_tgt = rho_remapper.remap_rho(rho, ts, tf)
             rho, q = model.step(rho, q, ts, tf, rho_tgt=rho_tgt)
         else:
@@ -349,6 +367,9 @@ def main(argv=None):
     p.add_argument("-we", dest="write_every", type=int, default=1)
     p.add_argument("-res", dest="vis_res", type=int, default=64,
                    help="lat resolution of the internal raster output")
+    p.add_argument("-prefine", type=int, default=0, choices=[0, 1, 5],
+                   help="p-refinement experiment (np=4 v-grid + p-refined "
+                        "tracer grid); 0 = none")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
@@ -359,7 +380,7 @@ def main(argv=None):
         rotate_grid=a.rotate_grid, timeint=a.timeint,
         perturb_rho=a.perturb_rho, footprint=a.footprint,
         io_type=a.io_type, out_prefix=a.out_prefix,
-        write_every=a.write_every, vis_res=a.vis_res)
+        write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine)
 
 
 if __name__ == "__main__":

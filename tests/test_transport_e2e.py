@@ -144,3 +144,16 @@ def test_pisl_local_qlt_limiter():
                      filter_="caas", limiter="qlt", verbose=False)
     assert out.max_step_bounds_err == 0.0
     assert out.cv_gll < 5e-14
+
+
+def test_prefine_experiments():
+    """P-refinement experiments 1 and 5 (slmmir -prefine): np=4 v-grid
+    density + p-refined tracer grid. Both conserve tracer mass exactly in
+    their primary measure and preserve bounds."""
+    for exp in (5, 1):
+        out = driver.run(ne=3, np_=6, nsteps=3, ics=("gaussianhills",),
+                         filter_="caas", limiter="caas", prefine=exp,
+                         verbose=False)
+        assert out.cv_gll < 5e-14, (exp, out.cv_gll)
+        assert out.max_step_bounds_err < 5e-13, (exp, out.max_step_bounds_err)
+        assert out.l2_err < 0.2, (exp, out.l2_err)
