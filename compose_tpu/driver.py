@@ -88,7 +88,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         observer_out=None, check_midpoint=False, geom_dtype="f64",
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
-        write_every=1, vis_res=64, prefine=0, verbose=True):
+        write_every=1, vis_res=64, prefine=0, nonuni=False, verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -103,7 +103,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             rotate = ((1.0, 0.0, 0.0), 0.97654321 * np.pi / 4)
         else:
             rotate = ((0.11111, -0.051515, 1.0), 0.142314 * np.pi)
-    mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate)
+    mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate, nonuni=nonuni)
     wind = gallery.create_wind(ode)
     rho_remapper = None
     if prefine in (1, 5):
@@ -370,6 +370,8 @@ def main(argv=None):
     p.add_argument("-prefine", type=int, default=0, choices=[0, 1, 5],
                    help="p-refinement experiment (np=4 v-grid + p-refined "
                         "tracer grid); 0 = none")
+    p.add_argument("-nonuni", "-nonunimesh", dest="nonuni", type=int,
+                   default=0, help="nonuniform warped mesh (0 = uniform)")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
@@ -380,7 +382,8 @@ def main(argv=None):
         rotate_grid=a.rotate_grid, timeint=a.timeint,
         perturb_rho=a.perturb_rho, footprint=a.footprint,
         io_type=a.io_type, out_prefix=a.out_prefix,
-        write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine)
+        write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
+        nonuni=bool(a.nonuni))
 
 
 if __name__ == "__main__":

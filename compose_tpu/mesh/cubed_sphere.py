@@ -99,10 +99,21 @@ class CubedSphereMesh:
     basis_x: jnp.ndarray          # (np,) basis node coords
     basis_w: jnp.ndarray          # (np,) basis weights (islet-modified if any)
     rot_R: jnp.ndarray = None     # (3,3) grid rotation, or None
+    # Nonuniform warp (slmm_mesh.cpp:808-833, make_nonuniform): the analytic
+    # diffeomorphism lets point location stay O(1) - invert the warp, use
+    # the equiangular index for a candidate, then pick among its ring-1
+    # neighbors by the Newton inverse (replacing the reference's octree).
+    warp_R: jnp.ndarray = None    # (3,3) warp rotation, or None (uniform)
+    ring1: jnp.ndarray = None     # (ncell, 9) int32 corner-sharing neighbors
+    ring1_mask: jnp.ndarray = None
 
     @property
     def np2(self):
         return self.np_ * self.np_
+
+    @property
+    def nonuni(self):
+        return self.warp_R is not None
 
 
 _BUILD_CACHE = {}
@@ -117,20 +128,41 @@ def form_rotation(axis, angle):
     return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
 
 
+_WARP_F = 0.5  # squash factor (make_nonuniform, slmm_mesh.cpp:811)
+
+
+def _warp_points(p, R, inverse=False):
+    """Nonuniform warp w(p) = R' normalize(S (R p)), S = diag(1, f, f)
+    (make_nonuniform, slmm_mesh.cpp:808-833); inverse uses S^{-1}. Works on
+    numpy (build time) and jnp (traced) arrays alike."""
+    xp = jnp if isinstance(p, jnp.ndarray) else np
+    f = (1.0 / _WARP_F) if inverse else _WARP_F
+    Rm = xp.asarray(R)
+    if xp is jnp:
+        Rm = Rm.astype(p.dtype)
+    # Reference: p1 = R' p; scale (1, f, f); normalize; p' = R p1.
+    q = p @ Rm
+    q = q * xp.asarray([1.0, f, f]).astype(q.dtype)
+    q = q / xp.sqrt((q * q).sum(-1))[..., None]
+    return q @ Rm.T
+
+
 def build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-          tq_order: int = 18, rotate=None) -> CubedSphereMesh:
+          tq_order: int = 18, rotate=None, nonuni=False) -> CubedSphereMesh:
     """Cached mesh construction (meshes are static data). `rotate` is an
     optional (axis, angle) grid rotation (slmmir -rotate-grid,
-    slmm_mesh.cpp:835-848)."""
+    slmm_mesh.cpp:835-848); `nonuni` applies the reference's nonuniform
+    warp (slmmir -nonunimesh)."""
     key = (ne, np_, basis_name, tq_order,
-           None if rotate is None else (tuple(rotate[0]), rotate[1]))
+           None if rotate is None else (tuple(rotate[0]), rotate[1]), nonuni)
     if key not in _BUILD_CACHE:
-        _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order, rotate)
+        _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order, rotate,
+                                   nonuni)
     return _BUILD_CACHE[key]
 
 
 def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-           tq_order: int = 18, rotate=None) -> CubedSphereMesh:
+           tq_order: int = 18, rotate=None, nonuni=False) -> CubedSphereMesh:
     ncell = 6 * ne * ne
     np2 = np_ * np_
     bas = basis_mod.create(basis_name, np_)
@@ -161,6 +193,36 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         rot_R = form_rotation(*rotate)
         corners = corners @ rot_R.T
         corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
+    warp_R = None
+    ring1 = ring1_mask = None
+    if nonuni:
+        warp_R = form_rotation((1.0, 1.0, 1.0), 0.2 * np.pi)
+        corners = _warp_points(corners, warp_R)
+        # Corner-sharing ring-1 neighbor table for the candidate search in
+        # locate() (replaces the reference's octree for nonuniform meshes).
+        f_i, iy_i, ix_i = np.unravel_index(np.arange(ncell), (6, ne, ne))
+        gcx = np.stack([ix_i, ix_i + 1, ix_i + 1, ix_i], -1).astype(np.int64)
+        gcy = np.stack([iy_i, iy_i, iy_i + 1, iy_i + 1], -1).astype(np.int64)
+        ckeys = np.empty((ncell, 4, 3), np.int64)
+        for f in range(6):
+            sel = f_i == f
+            ckeys[sel] = _face_key(f, 2 * gcx[sel] - ne, 2 * gcy[sel] - ne,
+                                   ne)
+        _, vinv = np.unique(ckeys.reshape(-1, 3), axis=0,
+                            return_inverse=True)
+        vinv = vinv.reshape(ncell, 4)
+        v2c = {}
+        for c in range(ncell):
+            for k in range(4):
+                v2c.setdefault(vinv[c, k], []).append(c)
+        ring1 = np.zeros((ncell, 9), np.int32)
+        ring1_mask = np.zeros((ncell, 9), bool)
+        for c in range(ncell):
+            nb = sorted({cc for k in range(4) for cc in v2c[vinv[c, k]]})
+            assert len(nb) <= 9
+            ring1[c, :len(nb)] = nb
+            ring1_mask[c, :len(nb)] = True
+            ring1[c, len(nb):] = nb[0]
 
     # --- Cell nodes: bilinear-sphere map of the GLL reference grid.
     A, B = np.meshgrid(gx, gx, indexing='xy')  # A varies along i (fast)
@@ -252,6 +314,9 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         basis_x=jnp.asarray(bas.x),
         basis_w=jnp.asarray(bas.w),
         rot_R=None if rot_R is None else jnp.asarray(rot_R),
+        warp_R=None if warp_R is None else jnp.asarray(warp_R),
+        ring1=None if ring1 is None else jnp.asarray(ring1),
+        ring1_mask=None if ring1_mask is None else jnp.asarray(ring1_mask),
     )
 
 
@@ -338,3 +403,41 @@ def get_cell_idx(ne: int, p, R=None):
     ix = jnp.clip(jnp.floor(0.5 * (1 + fx) * ne).astype(jnp.int32), 0, ne - 1)
     iy = jnp.clip(jnp.floor(0.5 * (1 + fy) * ne).astype(jnp.int32), 0, ne - 1)
     return (ne * ne * face + ne * iy + ix).astype(jnp.int32)
+
+
+def locate(mesh: CubedSphereMesh, p, max_its: int = 10):
+    """Point location with reference coordinates on any mesh built here.
+
+    Uniform meshes: closed-form equiangular estimate (O(h^2) warm start;
+    callers polish with their own Newton). Nonuniform meshes (the reference
+    uses an octree, slmmir_remapper_isl.cpp find_src_cell): invert the
+    analytic warp, take the equiangular candidate, and select among its
+    ring-1 neighbors by the Newton inverse - the returned (a, b) are fully
+    converged. Returns (ci, a, b)."""
+    if not mesh.nonuni:
+        return get_cell_coords(mesh.ne, p, mesh.rot_R)
+    p0 = _warp_points(p, mesh.warp_R, inverse=True)
+    c0 = get_cell_idx(mesh.ne, p0, mesh.rot_R)
+    cands = mesh.ring1[c0]                              # (..., 9)
+    corners = mesh.corners[cands].astype(p.dtype)       # (..., 9, 4, 3)
+    p9 = jnp.broadcast_to(p[..., None, :], cands.shape + (3,))
+    a, b = sqr.sphere_to_ref(corners, p9, max_its=max_its)
+    # Select by actual Newton residual (a non-converged iterate can sit at
+    # plausible in-range coords), penalizing out-of-element solutions.
+    rec = sqr.ref_to_sphere(corners, a, b)
+    resid = jnp.sqrt(sphere.norm2(rec - p9))
+    outside = jnp.maximum(jnp.abs(a), jnp.abs(b)) > 1.0 + 1e-10
+    score = resid + jnp.where(outside, 1e3, 0.0)
+    score = jnp.where(mesh.ring1_mask[c0], score, jnp.inf)
+    k = jnp.argmin(score, axis=-1)
+    ci = jnp.take_along_axis(cands, k[..., None], axis=-1)[..., 0]
+    a = jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(b, k[..., None], axis=-1)[..., 0]
+    return ci, a, b
+
+
+def locate_cell(mesh: CubedSphereMesh, p):
+    """Point -> containing cell id (the get_cell_idx / octree dispatch)."""
+    if not mesh.nonuni:
+        return get_cell_idx(mesh.ne, p, mesh.rot_R)
+    return locate(mesh, p)[0]

@@ -54,7 +54,7 @@ _CACHE = {}
 def build(mesh: cubed_sphere.CubedSphereMesh, tq_order: int = None) -> IrData:
     rot = (None if mesh.rot_R is None
            else tuple(np.asarray(mesh.rot_R).ravel().tolist()))
-    key = (mesh.ne, mesh.np_, tq_order, rot)
+    key = (mesh.ne, mesh.np_, tq_order, rot, mesh.nonuni)
     if key not in _CACHE:
         _CACHE[key] = _build(mesh, tq_order)
     return _CACHE[key]

@@ -134,7 +134,7 @@ class IrTransport:
         ncell = m.ncell
         ncand = ird.cands.shape[1]
         ctr = sphere.normalize(jnp.mean(adv_cells, axis=1))
-        land = cubed_sphere.get_cell_idx(m.ne, ctr, m.rot_R)  # (ncell,)
+        land = cubed_sphere.locate_cell(m, ctr)               # (ncell,)
         pair_src = jnp.repeat(jnp.arange(ncell), ncand)
         pair_tgt = ird.cands[land].reshape(-1)
         pair_mask = ird.cands_mask[land].reshape(-1)

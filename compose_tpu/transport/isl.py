@@ -148,17 +148,23 @@ class IslTransport:
             nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz
             dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
                                     self.config.nsub)
-        # Warm-started Newton: the closed-form equiangular estimate is
-        # O(h^2)-accurate, so a few quadratic iterations reach precision.
-        ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep, m.rot_R)
-        corners = m.corners[ci]
-        if f32:
-            corners = corners.astype(jnp.float32)
-            tol = 1e1 * float(jnp.finfo(jnp.float32).eps)
-            a, b = sqr.sphere_to_ref(corners, dep, max_its=3, tol=tol,
-                                     a0=a0, b0=b0)
+        if m.nonuni:
+            # Nonuniform mesh: inverse-warp + ring-1 Newton selection
+            # (cubed_sphere.locate; the reference's octree find_src_cell).
+            ci, a, b = cubed_sphere.locate(m, dep)
         else:
-            a, b = sqr.sphere_to_ref(corners, dep, max_its=4, a0=a0, b0=b0)
+            # Warm-started Newton: the closed-form equiangular estimate is
+            # O(h^2)-accurate, so a few quadratic iterations reach precision.
+            ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep, m.rot_R)
+            corners = m.corners[ci]
+            if f32:
+                corners = corners.astype(jnp.float32)
+                tol = 1e1 * float(jnp.finfo(jnp.float32).eps)
+                a, b = sqr.sphere_to_ref(corners, dep, max_its=3, tol=tol,
+                                         a0=a0, b0=b0)
+            else:
+                a, b = sqr.sphere_to_ref(corners, dep, max_its=4,
+                                         a0=a0, b0=b0)
         va = self.basis.eval(a)          # (cnn, np)
         vb = self.basis.eval(b)
         w = (vb[:, :, None] * va[:, None, :]).reshape(m.cnn, m.np2)

@@ -152,3 +152,21 @@ def test_node_jacobian_positive():
     m = build(3, 4)
     assert float(jnp.min(m.jac_node)) > 0
     assert float(jnp.min(m.dgbfi_sphere)) > 0
+
+
+def test_nonuniform_mesh_locator():
+    """Nonuniform warped mesh (slmm_mesh.cpp:808-833): the inverse-warp +
+    ring-1 Newton locator (the octree replacement) reconstructs arbitrary
+    sphere points through their located cell exactly."""
+    import numpy as np
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.ops import sqr
+    m = cubed_sphere.build(5, 4, nonuni=True)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(4000, 3))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    ci, a, b = cubed_sphere.locate(m, jnp.asarray(q))
+    rec = np.asarray(sqr.ref_to_sphere(m.corners[ci], a, b))
+    assert np.abs(rec - q).max() < 1e-12
+    assert float(jnp.abs(a).max()) < 1 + 1e-9
+    assert float(jnp.abs(b).max()) < 1 + 1e-9

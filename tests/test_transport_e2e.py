@@ -157,3 +157,14 @@ def test_prefine_experiments():
         assert out.cv_gll < 5e-14, (exp, out.cv_gll)
         assert out.max_step_bounds_err < 5e-13, (exp, out.max_step_bounds_err)
         assert out.l2_err < 0.2, (exp, out.l2_err)
+
+
+def test_nonuniform_mesh_transport():
+    """pisl on the nonuniform warped mesh (-nonunimesh): conservation and
+    bounds hold in the warped mesh's own measure."""
+    out = driver.run(ne=5, np_=4, nsteps=3, ics=("gaussianhills",),
+                     filter_="caas", limiter="caas", nonuni=True,
+                     verbose=False)
+    assert out.cv_gll < 5e-14
+    assert out.max_step_bounds_err < 5e-13
+    assert out.l2_err < 0.5
