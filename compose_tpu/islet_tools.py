@@ -238,3 +238,181 @@ def interp_error_metric(basis, degree: int = None, nsamp: int = 501):
     f = np.sin(np.pi * np.asarray(xs))
     fn = np.sin(np.pi * xn)
     return float(np.max(np.abs(v @ fn - f)))
+
+
+def _factorial(n):
+    f = 1.0
+    for i in range(2, n + 1):
+        f *= i
+    return f
+
+
+def calc_xnodes_metrics(xnodes, subsets, nseg: int = 100):
+    """The reference's exact a_1 / a_2 / a_inf node-set accuracy metrics
+    (calc_xnodes_metrics, islet_xnodes_metrics.cpp:15-42): per left-half
+    region, midpoint-rule integrals of |prod_i (x - x_active_i)| / subnp!,
+    the Lagrange remainder magnitude of the region's sub-polynomial.
+    subsets: per-region active node index lists (left half)."""
+    xnodes = np.asarray(xnodes)
+    np_ = len(xnodes)
+    nph = np_ // 2
+    a1 = a2 = 0.0
+    ainf = 0.0
+    for ireg in range(nph):
+        center = (np_ % 2 == 0) and ireg == nph - 1
+        xs_, xe = xnodes[ireg], xnodes[ireg + 1]
+        active = np.asarray(subsets[ireg])
+        subnp = len(active)
+        x = xs_ + (np.arange(nseg) + 0.5) * (xe - xs_) / nseg
+        f = np.prod(x[:, None] - xnodes[active][None, :], axis=1)
+        fac = _factorial(subnp)
+        scale = (1 if center else 2) * (xe - xs_) / fac / nseg
+        a1 += scale * np.abs(f).sum()
+        a2 += scale * (f * f).sum() / fac
+        ainf = max(ainf, np.abs(f).max() / fac)
+    return a1, np.sqrt(a2), ainf
+
+
+def calc_lebesgue_consts(xnodes, subsets, nseg: int = 100):
+    """L1/L2/Linf Lebesgue 'constants' of the region-wise basis
+    (calc_lebesgue_consts, islet_xnodes_metrics.cpp:50-84)."""
+    xnodes = np.asarray(xnodes)
+    np_ = len(xnodes)
+    nph = np_ // 2
+    l1 = l2 = 0.0
+    linf = 0.0
+    for ireg in range(nph):
+        center = (np_ % 2 == 0) and ireg == nph - 1
+        xs_, xe = xnodes[ireg], xnodes[ireg + 1]
+        active = np.asarray(subsets[ireg])
+        x = xs_ + (np.arange(nseg) + 0.5) * (xe - xs_) / nseg
+        xa = xnodes[active]
+        f = np.zeros(nseg)
+        for i in range(len(active)):
+            g = np.ones(nseg)
+            for j in range(len(active)):
+                if j == i:
+                    continue
+                g *= (x - xa[j]) / (xa[i] - xa[j])
+            f += np.abs(g)
+        scale = (1 if center else 2) * (xe - xs_) / nseg
+        l1 += scale * f.sum()
+        l2 += scale * (f * f).sum()
+        linf = max(linf, f.max())
+    return l1, np.sqrt(l2), linf
+
+
+class NodalSubsetBasis:
+    """General nodal-subset basis on GLL nodes: per left-half region, an
+    arbitrary active node subset (the search space of
+    `search findnodal_given_bestosn`; cf. slmm_islet_string.cpp)."""
+
+    def __init__(self, np_: int, subsets):
+        g = basis_mod.GLL(np_)
+        self.np = np_
+        self.x = g.x
+        self.subsets = tuple(tuple(s) for s in subsets)
+        self.w = np.asarray(self.calc_weights())
+
+    def eval(self, x):
+        return basis_mod._regionwise_eval(self.x, list(self.subsets), x)
+
+    def calc_weights(self):
+        """Modified quadrature weights: per-region integrals of the basis
+        functions, symmetrized (calc_weights,
+        islet_xnodes_metrics.cpp:217-246)."""
+        import jax.numpy as jnp
+        qx, qw = np.polynomial.legendre.leggauss(7)
+        xn = np.asarray(self.x)
+        np_ = self.np
+        integral = np.zeros(np_)
+        for ireg in range(np_ - 1):
+            x = 0.5 * (xn[ireg] + xn[ireg + 1]) \
+                + 0.5 * (xn[ireg + 1] - xn[ireg]) * qx
+            v = np.asarray(self.eval(jnp.asarray(x)))
+            integral += 0.5 * (xn[ireg + 1] - xn[ireg]) * (qw @ v)
+        for i in range(np_ // 2):
+            o = np_ - i - 1
+            integral[i] = integral[o] = 0.5 * (integral[i] + integral[o])
+        return integral
+
+
+def search_nodal_given_bestosn(np_: int, ne: int = 5, ndx: int = 24,
+                               tol: float = 1e-9, max_eval: int = 20000,
+                               verbose: bool = True):
+    """The reference's two-stage Islet basis search
+    (`search findnodal_given_bestosn np`, methods/islet/search.cpp;
+    output contract documented in methods/islet/readme.txt:24-60):
+
+      1. enumerate offset-nodal-subset (o.n.s.) bases, keep the stable ones
+         and take the best configuration's subnp signature;
+      2. enumerate GENERAL node subsets with that signature (each region's
+         subset must contain the region's endpoints and respect left-half
+         symmetry), filter by stability (meam1 ~ eps over a Courant sweep),
+         all-positive weights, and the PUM metric; rank by the a_1 metric.
+
+    Returns (osn_results, nodal_results) where nodal_results is a list of
+    dicts {subsets, meam1, wpos, a1, a2, ainf, pum}, best first.
+    """
+    import itertools
+
+    osn = search_offset_nodal(np_, ne=ne, ndx=ndx, tol=tol)
+    if not osn:
+        return [], []
+    best_regions = osn[0][0]
+    subnp_sig = [sub for (_, sub) in best_regions]
+    if verbose:
+        print(f"np {np_:3d}")
+        for (regions, lam, acc) in osn[:4]:
+            subnp = " ".join(str(s) for (_, s) in regions)
+            offst = " ".join(str(o) for (o, _) in regions)
+            print(f"meam1 {max(lam - 1, 0):.1e} | np {np_:3d} "
+                  f"subnp {subnp} offst {offst}")
+
+    nreg = np_ // 2
+    per_region = []
+    for i in range(nreg):
+        sub = subnp_sig[i]
+        opts = []
+        # Each region's subset must include the region endpoints i, i+1
+        # (nodal interpolation must be exact at the region boundary).
+        others = [k for k in range(np_) if k not in (i, i + 1)]
+        for extra in itertools.combinations(others, sub - 2):
+            opts.append(tuple(sorted((i, i + 1) + extra)))
+        per_region.append(opts)
+
+    results = []
+    count = 0
+    total = int(np.prod([len(o) for o in per_region]))
+    for subsets in itertools.product(*per_region):
+        count += 1
+        if count > max_eval:
+            break
+        b = NodalSubsetBasis(np_, subsets)
+        if np.any(b.w <= 0):
+            continue
+        a1, a2, ainf = calc_xnodes_metrics(np.asarray(b.x), subsets)
+        try:
+            lam = MaxEigComputer(b).max_eig_amp(ne, ndx)
+        except Exception:
+            continue
+        if lam > 1 + tol:
+            continue
+        pum = pum_metric(b, ne=min(ne, 4), n_mesh=3, ndx=8)
+        if pum > 1 + 1e-6:
+            continue
+        results.append(dict(subsets=subsets, meam1=max(lam - 1.0, 0.0),
+                            wpos=True, a1=a1, a2=a2, ainf=ainf,
+                            pum=max(pum - 1.0, 0.0)))
+    results.sort(key=lambda r: r["a1"])
+    if verbose:
+        print(f"count {total}")
+        print(f"NsbSearchAtom::eval {min(count, max_eval)}/{total}")
+        for r in results[:8]:
+            nodes = " | ".join(" ".join(str(n) for n in s)
+                               for s in r["subsets"])
+            subnp = " ".join(str(len(s)) for s in r["subsets"])
+            print(f"meam1 {r['meam1']:9.2e} w>0 1 npm {r['a1']:.2e} "
+                  f"{r['a2']:.2e} {r['ainf']:.2e} pum {r['pum']:9.2e} | "
+                  f"np {np_:3d} subnp {subnp} nodes | {nodes}")
+    return osn, results

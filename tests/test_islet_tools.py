@@ -77,3 +77,44 @@ def test_lebesgue_and_accuracy_metrics():
     e_gll = islet_tools.interp_error_metric(g4)
     assert e_islet < 0.5 and e_gll < 0.5
     assert e_islet < 2 * e_gll
+
+
+def test_xnodes_metrics_match_reference_table():
+    """The exact a_1/a_2/a_inf metrics (calc_xnodes_metrics,
+    islet_xnodes_metrics.cpp:15-42) reproduce the reference's recorded
+    'findbasic' values for the shipped np=6 GllNodal basis
+    (islet_xnodes_metrics.cpp:94: 2.393393e-04, 2.104595e-04,
+    2.816403e-04)."""
+    import numpy as np
+    from compose_tpu import basis as basis_mod
+    b = basis_mod.create("GllNodal", 6)
+    a1, a2, ainf = islet_tools.calc_xnodes_metrics(
+        np.asarray(b.x), b._subsets())
+    assert abs(a1 - 2.393393e-04) < 1e-9
+    assert abs(a2 - 2.104595e-04) < 1e-9
+    assert abs(ainf - 2.816403e-04) < 1e-9
+
+
+def test_calc_weights_full_sets_are_gll():
+    """NodalSubsetBasis with full node sets degenerates to plain GLL, so
+    its integrated weights must equal the GLL quadrature weights."""
+    import numpy as np
+    from compose_tpu import basis as basis_mod
+    nsb = islet_tools.NodalSubsetBasis(4, [(0, 1, 2, 3), (0, 1, 2, 3)])
+    g = basis_mod.GLL(4)
+    assert np.abs(nsb.w - np.asarray(g.w)).max() < 1e-14
+
+
+def test_search_nodal_given_bestosn_np4():
+    """The two-stage search (search findnodal_given_bestosn 4) recovers the
+    canonical np=4 Islet basis: subnp 3 4, nodes (0 1 2) (0 1 2 3), with
+    the reference's npm values (islet_xnodes_metrics.cpp:93:
+    1.575830e-02, 1.278167e-02, 1.510916e-02)."""
+    osn, res = islet_tools.search_nodal_given_bestosn(
+        4, ne=4, ndx=12, max_eval=50, verbose=False)
+    assert res
+    best = res[0]
+    assert best["subsets"] == ((0, 1, 2), (0, 1, 2, 3))
+    assert abs(best["a1"] - 1.575830e-02) < 1e-7
+    assert best["meam1"] < 1e-9
+    assert best["pum"] < 1e-9
