@@ -88,7 +88,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         observer_out=None, check_midpoint=False, geom_dtype="f64",
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
-        write_every=1, vis_res=64, prefine=0, nonuni=False, verbose=True):
+        write_every=1, vis_res=64, prefine=0, nonuni=False, pg=0,
+        verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -182,6 +183,24 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             tc_lat, tc_lon = sphere.xyz2ll(
                 mesh.cell_nodes_xyz.reshape(-1, 3))
 
+    # Physgrid coupling (-pg nphys, slmmir.cpp:1006-1043, 1186-1232): keep
+    # an FV companion state; source terms (toy chemistry) evaluate at the
+    # FV subcell centers and their tendencies are remapped back to the GLL
+    # grid in tracer-mass form (add_tendencies_from_physgrid,
+    # slmmir_remapper_isl.cpp). The reference uses the elrecon Fv2Gll.
+    pg_ops = None
+    if pg > 0:
+        from .ops import sqr
+        from .transport.physgrid import PhysgridOps
+        pg_ops = PhysgridOps(mesh, pg, "elrecon")
+        edges = np.linspace(-1.0, 1.0, pg + 1)
+        cmid = 0.5 * (edges[:-1] + edges[1:])
+        Ac = jnp.asarray(np.tile(cmid, pg))
+        Bc = jnp.asarray(np.repeat(cmid, pg))
+        pts = sqr.ref_to_sphere(mesh.corners[:, None, :, :],
+                                Ac[None, :], Bc[None, :])  # (ncell, nf2, 3)
+        pg_lat, pg_lon = sphere.xyz2ll(pts.reshape(-1, 3))
+
     # Per-step field output (-io-type, slmmir.cpp:233-268; NetCDF writer or
     # the internal binary lat-lon raster via vis.py).
     writer = None
@@ -229,7 +248,31 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         if footprint and isinstance(model, IslTransport):
             fp = model.footprint_stats(ts, tf)
             print(f"footprint> {fp[0]:2d} {fp[1]:2d} {fp[2]:4.1f} {fp[3]:2d}")
-        if toychem_idx is not None:
+        if toychem_idx is not None and pg_ops is not None:
+            # Toy chemistry on the physgrid: evaluate at FV subcell
+            # centers, remap the tendency masses back through fv2gll.
+            i_cl, i_cl2 = toychem_idx
+            rho_p, q_p = pg_ops.gll2fv(rho, q)
+            cl_f, cl2_f = gallery.toychem_tendency(
+                pg_lat, pg_lon, q_p[i_cl].reshape(-1),
+                q_p[i_cl2].reshape(-1), dt)
+            rho_safe = jnp.where(rho == 0, 1.0, rho)
+            for i_t, tend in ((i_cl, cl_f), (i_cl2, cl2_f)):
+                dq_p = (dt * tend).reshape(mesh.ncell, pg * pg)
+                Qd = jnp.einsum('dp,cp->cd', pg_ops.op_j,
+                                pg_ops.fv_met * rho_p * dq_p) \
+                    / pg_ops.gll_met
+                qi = q[i_t] + Qd / rho_safe
+                # Bound by the pg-cell post-tendency range (union current
+                # GLL range) - the reference's td.q_min/q_max contract:
+                # zero tendency leaves the tracer unmodified, and the
+                # unlimited elrecon remap can't introduce new extrema.
+                qp_new = q_p[i_t] + dq_p
+                lo = jnp.minimum(jnp.min(qp_new, -1), jnp.min(q[i_t], -1))
+                hi = jnp.maximum(jnp.max(qp_new, -1), jnp.max(q[i_t], -1))
+                q = q.at[i_t].set(
+                    jnp.clip(qi, lo[:, None], hi[:, None]))
+        elif toychem_idx is not None:
             i_cl, i_cl2 = toychem_idx
             cl = q[i_cl].reshape(-1)
             cl2 = q[i_cl2].reshape(-1)
@@ -372,6 +415,8 @@ def main(argv=None):
                         "tracer grid); 0 = none")
     p.add_argument("-nonuni", "-nonunimesh", dest="nonuni", type=int,
                    default=0, help="nonuniform warped mesh (0 = uniform)")
+    p.add_argument("-pg", type=int, default=0,
+                   help="physgrid nphys (FV physics grid); 0 = none")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
@@ -383,7 +428,7 @@ def main(argv=None):
         perturb_rho=a.perturb_rho, footprint=a.footprint,
         io_type=a.io_type, out_prefix=a.out_prefix,
         write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
-        nonuni=bool(a.nonuni))
+        nonuni=bool(a.nonuni), pg=a.pg)
 
 
 if __name__ == "__main__":

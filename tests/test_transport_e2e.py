@@ -168,3 +168,14 @@ def test_nonuniform_mesh_transport():
     assert out.cv_gll < 5e-14
     assert out.max_step_bounds_err < 5e-13
     assert out.l2_err < 0.5
+
+
+def test_physgrid_coupled_toychem():
+    """-pg: terminator toy chemistry evaluated at FV subcell centers with
+    tendencies remapped back in tracer-mass form; tracers stay within the
+    toychem bounds [0, 4e-6]."""
+    out = driver.run(ne=4, np_=4, nsteps=3, ics=("toychem1", "toychem2"),
+                     filter_="caas", limiter="caas", nsub=2, pg=2,
+                     verbose=False)
+    assert out.min_e >= 0.0
+    assert out.max_e <= 4.0000001e-06
