@@ -89,7 +89,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
         write_every=1, vis_res=64, prefine=0, nonuni=False, pg=0,
-        verbose=True):
+        mesh_type="geometric", verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -104,7 +104,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             rotate = ((1.0, 0.0, 0.0), 0.97654321 * np.pi / 4)
         else:
             rotate = ((0.11111, -0.051515, 1.0), 0.142314 * np.pi)
-    mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate, nonuni=nonuni)
+    mesh = cubed_sphere.build(ne, np_, basis, rotate=rotate, nonuni=nonuni,
+                              mesh_type=mesh_type)
+    # Subcell meshes refine the grid and force np=2 transport
+    # (slmmir.cpp:445); pick up the effective sizes from the mesh.
+    ne, np_, basis = mesh.ne, mesh.np_, mesh.basis_name
     wind = gallery.create_wind(ode)
     rho_remapper = None
     if prefine in (1, 5):
@@ -417,8 +421,15 @@ def main(argv=None):
                    default=0, help="nonuniform warped mesh (0 = uniform)")
     p.add_argument("-pg", type=int, default=0,
                    help="physgrid nphys (FV physics grid); 0 = none")
+    p.add_argument("-mesh", dest="mesh_type", default="geometric",
+                   choices=["geometric", "gllsubcell", "runisubcell",
+                            "g", "gllsc", "runisc"],
+                   help="mesh type (subcell types force np=2 transport on "
+                        "the refined grid, slmmir.hpp:79-107)")
     a = p.parse_args(argv)
     ics = tuple(a.ic) if a.ic else ("gaussianhills",)
+    mt = {"g": "geometric", "gllsc": "gllsubcell",
+          "runisc": "runisubcell"}.get(a.mesh_type, a.mesh_type)
     run(ne=a.ne, np_=a.np_, nsteps=a.nsteps, T_days=a.T, ics=ics, ode=a.ode,
         method=a.method, filter_=a.filter_, limiter=a.limiter, basis=a.basis,
         nsub=a.nsub, dmc=a.dmc, lauritzen=a.lauritzen,
@@ -428,7 +439,7 @@ def main(argv=None):
         perturb_rho=a.perturb_rho, footprint=a.footprint,
         io_type=a.io_type, out_prefix=a.out_prefix,
         write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
-        nonuni=bool(a.nonuni), pg=a.pg)
+        nonuni=bool(a.nonuni), pg=a.pg, mesh_type=mt)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,19 @@ class CubedSphereMesh:
     warp_R: jnp.ndarray = None    # (3,3) warp rotation, or None (uniform)
     ring1: jnp.ndarray = None     # (ncell, 9) int32 corner-sharing neighbors
     ring1_mask: jnp.ndarray = None
+    # Subcell meshes (MeshType gllsubcell/runisubcell, slmmir.hpp:79-107;
+    # make_cubedsphere_subcell_mesh, slmm_mesh.hpp:50-62): each geometric
+    # parent cell is split into (np_geo-1)^2 np=2 subcells at GLL or
+    # uniform break points of the parent's reference square. Point location
+    # goes parent-first: equiangular index + Newton on the parent, then a
+    # searchsorted over the static breaks.
+    sub_parent_ne: int = 0        # parent ne (0 = not a subcell mesh)
+    sub_breaks: jnp.ndarray = None        # (np_geo,) ref-square breaks
+    sub_parent_corners: jnp.ndarray = None  # (6*ne^2, 4, 3)
+
+    @property
+    def is_subcell(self):
+        return self.sub_parent_ne > 0
 
     @property
     def np2(self):
@@ -148,21 +161,32 @@ def _warp_points(p, R, inverse=False):
 
 
 def build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-          tq_order: int = 18, rotate=None, nonuni=False) -> CubedSphereMesh:
+          tq_order: int = 18, rotate=None, nonuni=False,
+          mesh_type: str = "geometric") -> CubedSphereMesh:
     """Cached mesh construction (meshes are static data). `rotate` is an
     optional (axis, angle) grid rotation (slmmir -rotate-grid,
     slmm_mesh.cpp:835-848); `nonuni` applies the reference's nonuniform
-    warp (slmmir -nonunimesh)."""
+    warp (slmmir -nonunimesh); `mesh_type` in {geometric, gllsubcell,
+    runisubcell} selects the subcell refinements (np forced to 2 there,
+    slmmir.cpp:445)."""
     key = (ne, np_, basis_name, tq_order,
-           None if rotate is None else (tuple(rotate[0]), rotate[1]), nonuni)
+           None if rotate is None else (tuple(rotate[0]), rotate[1]), nonuni,
+           mesh_type)
     if key not in _BUILD_CACHE:
         _BUILD_CACHE[key] = _build(ne, np_, basis_name, tq_order, rotate,
-                                   nonuni)
+                                   nonuni, mesh_type)
     return _BUILD_CACHE[key]
 
 
 def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
-           tq_order: int = 18, rotate=None, nonuni=False) -> CubedSphereMesh:
+           tq_order: int = 18, rotate=None, nonuni=False,
+           mesh_type: str = "geometric") -> CubedSphereMesh:
+    subcell = mesh_type in ("gllsubcell", "runisubcell")
+    ne_geo, np_geo = ne, np_
+    if subcell:
+        assert not nonuni, "subcell + nonuni not supported"
+        np_ = 2  # transport runs np=2 on subcell meshes (slmmir.cpp:445)
+        basis_name = "Gll"
     ncell = 6 * ne * ne
     np2 = np_ * np_
     bas = basis_mod.create(basis_name, np_)
@@ -223,6 +247,43 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
             ring1[c, :len(nb)] = nb
             ring1_mask[c, :len(nb)] = True
             ring1[c, len(nb):] = nb[0]
+
+    sub_parent_ne = 0
+    sub_breaks = sub_parent_corners = None
+    if subcell:
+        # Refine each geometric cell into (np_geo-1)^2 subcells whose
+        # corners are the bilinear-sphere images of the GLL (gllsubcell) or
+        # uniform (runisubcell) break grid. Shared edges evaluate to
+        # bitwise-identical floats from both parents (symmetric breaks +
+        # identical chord expressions), so the refinement is watertight.
+        sub_parent_ne = ne_geo
+        sub_parent_corners = corners.copy()
+        if mesh_type == "gllsubcell":
+            breaks = np.asarray(basis_mod.gll_nodes_weights(np_geo)[0])
+        else:
+            breaks = np.linspace(-1.0, 1.0, np_geo)
+        sub_breaks = breaks
+        ns = np_geo - 1
+        AX0, AY0 = np.meshgrid(breaks[:-1], breaks[:-1], indexing='xy')
+        AX1, AY1 = np.meshgrid(breaks[1:], breaks[1:], indexing='xy')
+
+        def bil(a, b):
+            qtr = 0.25
+            N = np.stack([qtr * (1 - a) * (1 - b), qtr * (1 + a) * (1 - b),
+                          qtr * (1 + a) * (1 + b), qtr * (1 - a) * (1 + b)],
+                         axis=-1)
+            p = np.einsum('yxk,ckd->cyxd', N, corners)
+            return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+        pts = np.stack([bil(AX0, AY0), bil(AX1, AY0),
+                        bil(AX1, AY1), bil(AX0, AY1)], axis=-2)
+        # Global (face, IY, IX) lattice ordering with IY = iy*ns + sy.
+        NE = ne_geo * ns
+        pts = pts.reshape(6, ne_geo, ne_geo, ns, ns, 4, 3)
+        pts = pts.transpose(0, 1, 3, 2, 4, 5, 6)
+        corners = np.ascontiguousarray(pts.reshape(6 * NE * NE, 4, 3))
+        ne = NE
+        ncell = 6 * NE * NE
 
     # --- Cell nodes: bilinear-sphere map of the GLL reference grid.
     A, B = np.meshgrid(gx, gx, indexing='xy')  # A varies along i (fast)
@@ -317,6 +378,10 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
         warp_R=None if warp_R is None else jnp.asarray(warp_R),
         ring1=None if ring1 is None else jnp.asarray(ring1),
         ring1_mask=None if ring1_mask is None else jnp.asarray(ring1_mask),
+        sub_parent_ne=sub_parent_ne,
+        sub_breaks=None if sub_breaks is None else jnp.asarray(sub_breaks),
+        sub_parent_corners=(None if sub_parent_corners is None
+                            else jnp.asarray(sub_parent_corners)),
     )
 
 
@@ -413,7 +478,30 @@ def locate(mesh: CubedSphereMesh, p, max_its: int = 10):
     uses an octree, slmmir_remapper_isl.cpp find_src_cell): invert the
     analytic warp, take the equiangular candidate, and select among its
     ring-1 neighbors by the Newton inverse - the returned (a, b) are fully
-    converged. Returns (ci, a, b)."""
+    converged. Subcell meshes locate the PARENT cell first (equiangular
+    index + Newton on the parent), then pick the subcell by a searchsorted
+    over the static break grid; returned coords are O(h^2) estimates like
+    the uniform case. Returns (ci, a, b)."""
+    if mesh.is_subcell:
+        pne = mesh.sub_parent_ne
+        ci_p, a0, b0 = get_cell_coords(pne, p, mesh.rot_R)
+        pc = mesh.sub_parent_corners[ci_p].astype(p.dtype)
+        a, b = sqr.sphere_to_ref(pc, p, a0=a0, b0=b0, max_its=6)
+        br = mesh.sub_breaks
+        ns = br.shape[0] - 1
+        sx = jnp.clip(jnp.searchsorted(br, a, side='right') - 1, 0, ns - 1)
+        sy = jnp.clip(jnp.searchsorted(br, b, side='right') - 1, 0, ns - 1)
+        lox, hix = br[sx], br[sx + 1]
+        loy, hiy = br[sy], br[sy + 1]
+        a_s = 2.0 * (a - lox) / (hix - lox) - 1.0
+        b_s = 2.0 * (b - loy) / (hiy - loy) - 1.0
+        f = ci_p // (pne * pne)
+        r = ci_p % (pne * pne)
+        iy, ix = r // pne, r % pne
+        NE = pne * ns
+        ci = (f * NE * NE + (iy * ns + sy) * NE
+              + (ix * ns + sx)).astype(jnp.int32)
+        return ci, a_s.astype(p.dtype), b_s.astype(p.dtype)
     if not mesh.nonuni:
         return get_cell_coords(mesh.ne, p, mesh.rot_R)
     p0 = _warp_points(p, mesh.warp_R, inverse=True)
@@ -438,6 +526,6 @@ def locate(mesh: CubedSphereMesh, p, max_its: int = 10):
 
 def locate_cell(mesh: CubedSphereMesh, p):
     """Point -> containing cell id (the get_cell_idx / octree dispatch)."""
-    if not mesh.nonuni:
+    if not mesh.nonuni and not mesh.is_subcell:
         return get_cell_idx(mesh.ne, p, mesh.rot_R)
     return locate(mesh, p)[0]

@@ -153,9 +153,10 @@ class IslTransport:
             # (cubed_sphere.locate; the reference's octree find_src_cell).
             ci, a, b = cubed_sphere.locate(m, dep)
         else:
-            # Warm-started Newton: the closed-form equiangular estimate is
-            # O(h^2)-accurate, so a few quadratic iterations reach precision.
-            ci, a0, b0 = cubed_sphere.get_cell_coords(m.ne, dep, m.rot_R)
+            # Warm-started Newton: the closed-form equiangular (or
+            # parent-subcell) estimate is O(h^2)-accurate, so a few
+            # quadratic iterations reach precision.
+            ci, a0, b0 = cubed_sphere.locate(m, dep)
             corners = m.corners[ci]
             if f32:
                 corners = corners.astype(jnp.float32)

@@ -23,24 +23,50 @@ def latlon_grid(nlat: int, nlon: int):
     return LA, LO
 
 
+def ortho_grid(res: int, center_lat: float = 0.0, center_lon: float = 0.0):
+    """Orthographic hemisphere projection grid centered at (lat, lon)
+    (the reference's orthographic VisWriter map, slmm_vis.cpp). Returns
+    (lat, lon, mask): (res, res) arrays; mask is False outside the disk
+    (those samples should be blanked)."""
+    X, Y = np.meshgrid(np.linspace(-1, 1, res), np.linspace(-1, 1, res),
+                       indexing="xy")
+    r2 = X * X + Y * Y
+    mask = r2 <= 1.0
+    Z = np.sqrt(np.maximum(0.0, 1.0 - r2))
+    c = np.asarray([np.cos(center_lat) * np.cos(center_lon),
+                    np.cos(center_lat) * np.sin(center_lon),
+                    np.sin(center_lat)])
+    east = np.asarray([-np.sin(center_lon), np.cos(center_lon), 0.0])
+    north = np.cross(c, east)
+    p = (X[..., None] * east + Y[..., None] * north + Z[..., None] * c)
+    lat = np.arcsin(np.clip(p[..., 2], -1, 1))
+    lon = np.arctan2(p[..., 1], p[..., 0])
+    return lat, lon, mask
+
+
 def sample_field(mesh: cubed_sphere.CubedSphereMesh, field_dgll, lat, lon,
-                 basis_name: str = None):
+                 basis_name: str = None, mask=None):
     """Evaluate a DGLL field (..., ncell, np2) at (lat, lon) arrays.
 
     Returns (..., *lat.shape). Uses the transport basis for in-cell
     interpolation (vis::BilinGLLToLatLon uses bilinear subcells; spectral
-    evaluation is strictly more accurate)."""
+    evaluation is strictly more accurate). `mask` (same shape as lat)
+    blanks samples to 0 - e.g. the outside of an orthographic disk."""
     bas = basis_mod.create(basis_name or mesh.basis_name, mesh.np_)
     shape = np.shape(lat)
     p = sphere.ll2xyz(jnp.asarray(np.ravel(lat)), jnp.asarray(np.ravel(lon)))
-    ci = cubed_sphere.get_cell_idx(mesh.ne, p)
-    a, b = sqr.sphere_to_ref(mesh.corners[ci], p)
+    ci, a, b = cubed_sphere.locate(mesh, p)
+    if not mesh.nonuni:
+        a, b = sqr.sphere_to_ref(mesh.corners[ci], p, a0=a, b0=b)
     va = bas.eval(a)                      # (npts, np)
     vb = bas.eval(b)
     w = (vb[:, :, None] * va[:, None, :]).reshape(p.shape[0], mesh.np2)
     src = field_dgll[..., ci, :]          # (..., npts, np2)
     out = jnp.einsum('...px,px->...p', src, w)
-    return np.asarray(out).reshape(out.shape[:-1] + shape)
+    out = np.asarray(out).reshape(out.shape[:-1] + shape)
+    if mask is not None:
+        out = np.where(mask, out, 0.0)
+    return out
 
 
 def write_raster(path, arrays):

@@ -170,3 +170,24 @@ def test_nonuniform_mesh_locator():
     assert np.abs(rec - q).max() < 1e-12
     assert float(jnp.abs(a).max()) < 1 + 1e-9
     assert float(jnp.abs(b).max()) < 1 + 1e-9
+
+
+def test_subcell_mesh_locator():
+    """Subcell locate: parent-first estimates feed a converged Newton on
+    the subcell corners for arbitrary points."""
+    import numpy as np
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.ops import sqr
+    for mt in ("gllsubcell", "runisubcell"):
+        m = cubed_sphere.build(3, 4, mesh_type=mt)
+        assert m.ne == 9 and m.np_ == 2
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(2000, 3))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        qj = jnp.asarray(q)
+        ci, a0, b0 = cubed_sphere.locate(m, qj)
+        a, b = sqr.sphere_to_ref(m.corners[ci], qj, a0=a0, b0=b0)
+        rec = np.asarray(sqr.ref_to_sphere(m.corners[ci], a, b))
+        assert np.abs(rec - q).max() < 1e-12
+        assert float(jnp.abs(a).max()) < 1 + 1e-6
+        assert float(jnp.abs(b).max()) < 1 + 1e-6

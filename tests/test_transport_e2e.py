@@ -179,3 +179,15 @@ def test_physgrid_coupled_toychem():
                      verbose=False)
     assert out.min_e >= 0.0
     assert out.max_e <= 4.0000001e-06
+
+
+def test_subcell_meshes():
+    """Subcell mesh types (MeshType, slmmir.hpp:79-107): np=2 transport on
+    the GLL- or uniformly-refined geometric mesh, property preserving."""
+    for mt in ("gllsubcell", "runisubcell"):
+        out = driver.run(ne=3, np_=4, nsteps=3, ics=("gaussianhills",),
+                         filter_="caas", limiter="caas", nsub=2,
+                         mesh_type=mt, verbose=False)
+        assert out.cv_gll < 5e-14, (mt, out.cv_gll)
+        assert out.max_step_bounds_err < 5e-13
+        assert out.l2_err < 0.5

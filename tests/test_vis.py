@@ -39,3 +39,22 @@ def test_write_raster(tmp_path):
         frames = np.fromfile(fh, np.float32).reshape(2, 3, 4)
     assert list(hdr) == [2, 3, 4]
     assert np.allclose(frames[1], 2 * a)
+
+
+def test_ortho_projection():
+    """Orthographic hemisphere raster: a smooth field samples exactly on
+    the disk, blanked outside."""
+    import numpy as np
+    from compose_tpu import driver, vis
+    from compose_tpu.mesh import cubed_sphere
+    mesh = cubed_sphere.build(4, 4)
+    q = driver.init_tracers(mesh, ("xyztrig",))[0]
+    lat, lon, mask = vis.ortho_grid(33, center_lat=0.4, center_lon=1.0)
+    img = vis.sample_field(mesh, q, lat, lon, mask=mask)
+    assert img.shape == (33, 33)
+    assert np.all(img[~mask] == 0.0)
+    # Compare against direct evaluation of the IC on the disk.
+    from compose_tpu.transport import gallery
+    ref = np.asarray(gallery.initial_condition(
+        "xyztrig", lat[mask].ravel(), lon[mask].ravel()))
+    assert np.abs(img[mask].ravel() - ref).max() < 5e-3
