@@ -399,7 +399,8 @@ def main(argv=None):
     p.add_argument("-lauritzen", action="store_true")
     p.add_argument("-fitext", action="store_true")
     p.add_argument("-rotate-grid", dest="rotate_grid", action="store_true")
-    p.add_argument("-timeint", default="exact", choices=["exact", "interp"])
+    p.add_argument("-timeint", default="exact",
+                   choices=["exact", "interp", "line", "interpline"])
     p.add_argument("--perturb-rho", dest="perturb_rho", type=float,
                    default=0.0)
     p.add_argument("-midpoint-check", dest="check_midpoint",

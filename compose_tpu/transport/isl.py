@@ -49,7 +49,9 @@ class IslConfig:
     # Trajectory integration: 'exact' integrates every fine-grid node;
     # 'interp' integrates a coarse np=v_np velocity grid and interpolates
     # departure points to the fine grid (slmmir -timeint interp;
-    # VelocityInterpolatorMeshIntegrator, slmmir_time_int.{hpp,cpp}).
+    # VelocityInterpolatorMeshIntegrator, slmmir_time_int.{hpp,cpp});
+    # 'line'/'interpline' use the reference's 2-evaluation midpoint study
+    # integrator (StudyTimeIntegrator, slmmir_time_int_exp.cpp).
     timeint: str = "exact"
     v_np: int = 4
     # Precision of the geometric pipeline (trajectories, point location,
@@ -60,6 +62,15 @@ class IslConfig:
     # O(1e-7) interpolation-weight noise enters the (1e-2-scale) solution
     # error. 'f64' reproduces the reference tolerances everywhere.
     geom_dtype: str = "f64"
+    # Tracer interpolation precision. With f32 geometry the interp WEIGHTS
+    # already carry O(1e-7) noise, so gathering/contracting the tracer
+    # VALUES in f32 adds nothing new to the error budget - and that gather
+    # is the step's hottest kernel (half the bytes, native arithmetic).
+    # Mass is still restored exactly by the f64 CDR (redistribution against
+    # the f64 source mass) and bounds by the f64 clip/limiter, so the
+    # conservation and shape-preservation invariants are unaffected. 'f64'
+    # (default) keeps the strict tracer-consistency tolerance (~3e-15).
+    interp_dtype: str = "f64"
 
 
 class IslTransport:
@@ -88,7 +99,8 @@ class IslTransport:
             self.fitext = FitExtremum(config.np_)
         else:
             self.fitext = None
-        if config.timeint == "interp" and config.v_np < config.np_:
+        if config.timeint in ("interp", "interpline") \
+                and config.v_np < config.np_:
             # Coarse velocity grid + fine-node interpolation data.
             self.vmesh = cubed_sphere.build(mesh.ne, config.v_np, "Gll")
             vb = basis_mod.GLL(config.v_np)
@@ -137,8 +149,12 @@ class IslTransport:
             vm = self.vmesh
             vnodes = (vm.cgll_xyz.astype(jnp.float32) if f32
                       else vm.cgll_xyz)
-            vdep = timeint.integrate(self.wind.velocity, tf, ts, vnodes,
-                                     self.config.nsub)
+            if self.config.timeint == "interpline":
+                vdep = timeint.integrate_line(self.wind.velocity, tf, ts,
+                                              vnodes)
+            else:
+                vdep = timeint.integrate(self.wind.velocity, tf, ts, vnodes,
+                                         self.config.nsub)
             vdep_cells = vdep[vm.dgll2cgll]          # (ncell, v_np2, 3)
             dep = jnp.einsum('ck,ckd->cd',
                              self.v_weights.astype(vdep.dtype),
@@ -146,8 +162,12 @@ class IslTransport:
             dep = sphere.normalize(dep)
         else:
             nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz
-            dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
-                                    self.config.nsub)
+            if self.config.timeint == "line":
+                dep = timeint.integrate_line(self.wind.velocity, tf, ts,
+                                             nodes)
+            else:
+                dep = timeint.integrate(self.wind.velocity, tf, ts, nodes,
+                                        self.config.nsub)
         if m.nonuni:
             # Nonuniform mesh: inverse-warp + ring-1 Newton selection
             # (cubed_sphere.locate; the reference's octree find_src_cell).
@@ -256,7 +276,12 @@ class IslTransport:
             rho_tgt = rho
 
         # --- Tracer interpolation (all tracers in one gather+einsum).
-        q_interp = self._interp(q, ci, w)                    # (nt, cnn)
+        if cfg.interp_dtype == "f32":
+            q_interp = self._interp(
+                q.astype(jnp.float32), ci,
+                w.astype(jnp.float32)).astype(jnp.float64)   # (nt, cnn)
+        else:
+            q_interp = self._interp(q, ci, w)                # (nt, cnn)
         q_tgt = q_interp[:, self.d2c_map].reshape(
             q.shape[0], m.ncell, m.np2)
 

@@ -72,3 +72,18 @@ def integrate(velocity, ts: float, tf: float, p, nsub: int = 8):
 
     p = jax.lax.fori_loop(0, nsub, body, p)
     return sphere.normalize(p)
+
+
+@partial(jax.jit, static_argnames=("velocity",))
+def integrate_line(velocity, ts: float, tf: float, p):
+    """The reference's 'line' study integrator (StudyTimeIntegrator,
+    slmmir_time_int_exp.cpp:26-60): a 2-iteration midpoint fixed point -
+    two velocity evaluations per transport step, the cheapest trajectory
+    scheme the reference studies (-timeint line / interpline)."""
+    dt = tf - ts
+    th = 0.5 * (ts + tf)
+    uh = p
+    for _ in range(2):
+        f = velocity(th, uh)
+        uh = p + (0.5 * dt) * f
+    return sphere.normalize(p + dt * f)

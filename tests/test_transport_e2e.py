@@ -191,3 +191,18 @@ def test_subcell_meshes():
         assert out.cv_gll < 5e-14, (mt, out.cv_gll)
         assert out.max_step_bounds_err < 5e-13
         assert out.l2_err < 0.5
+
+
+def test_line_timeint():
+    """-timeint line / interpline: the reference's 2-evaluation midpoint
+    study integrator. Conservation and bounds are unaffected (only
+    trajectory accuracy changes)."""
+    out = driver.run(ne=4, np_=4, nsteps=3, ics=("gaussianhills",),
+                     filter_="caas", limiter="caas", timeint="line",
+                     verbose=False)
+    assert out.cv_gll < 5e-14
+    assert out.max_step_bounds_err < 5e-13
+    out = driver.run(ne=3, np_=6, nsteps=3, ics=("gaussianhills",),
+                     filter_="caas", limiter="caas", timeint="interpline",
+                     verbose=False)
+    assert out.cv_gll < 5e-14
