@@ -89,7 +89,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
         write_every=1, vis_res=64, prefine=0, nonuni=False, pg=0,
-        mesh_type="geometric", verbose=True):
+        mesh_type="geometric", interp_dtype="f64", verbose=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -141,7 +141,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
                         limiter=limiter, rho_isl=False, nsub=nsub,
                         geom_dtype=geom_dtype, fitext=fitext,
-                        timeint=timeint)
+                        timeint=timeint, interp_dtype=interp_dtype)
         model = IslTransport(mesh, wind, cfg)
     else:
         # pislu = pisl with the natural (unstabilized GLL) interpolant
@@ -151,7 +151,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                         limiter=limiter,
                         rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
                         geom_dtype=geom_dtype, fitext=fitext,
-                        timeint=timeint)
+                        timeint=timeint, interp_dtype=interp_dtype)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))
@@ -392,6 +392,10 @@ def main(argv=None):
                    choices=["mn2", "caas", "caags", "qlt", "none"])
     p.add_argument("-basis", default="GllNodal")
     p.add_argument("-nsub", type=int, default=8)
+    p.add_argument("-interp", dest="interp_dtype", default="f64",
+                   choices=["f64", "f32"],
+                   help="tracer interpolation precision (f32 = bench fast "
+                        "path; mass/bounds invariants stay f64)")
     p.add_argument("-geom", dest="geom_dtype", default="f64",
                    choices=["f64", "f32"],
                    help="precision of the geometric pipeline (f32 = fast "
@@ -440,7 +444,8 @@ def main(argv=None):
         perturb_rho=a.perturb_rho, footprint=a.footprint,
         io_type=a.io_type, out_prefix=a.out_prefix,
         write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
-        nonuni=bool(a.nonuni), pg=a.pg, mesh_type=mt)
+        nonuni=bool(a.nonuni), pg=a.pg, mesh_type=mt,
+        interp_dtype=a.interp_dtype)
 
 
 if __name__ == "__main__":

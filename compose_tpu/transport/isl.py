@@ -204,16 +204,20 @@ class IslTransport:
         """Gather-based DSS of a (ncell, np2) or (nt, ncell, np2) field."""
         m = self.mesh
         flat = field.reshape(field.shape[:-2] + (-1,))
-        out = dss.dss_gather(flat, self.d2c_map, m.c2d_idx, m.c2d_mask,
-                             self.F.reshape(-1))
+        if flat.ndim == 2:
+            out = dss.dss_gather_t(flat, self.d2c_map, m.c2d_idx,
+                                   m.c2d_mask, self.F.reshape(-1))
+        else:
+            out = dss.dss_gather(flat, self.d2c_map, m.c2d_idx, m.c2d_mask,
+                                 self.F.reshape(-1))
         return out.reshape(field.shape)
 
     def _dss_q(self, rho_dg, q):
         """Gather-based mixing-ratio DSS; q: (nt, ncell, np2)."""
         m = self.mesh
-        out = dss.dss_q_gather(rho_dg.reshape(-1),
-                               q.reshape(q.shape[0], -1), self.d2c_map,
-                               m.c2d_idx, m.c2d_mask, self.F.reshape(-1))
+        out = dss.dss_q_gather_t(rho_dg.reshape(-1),
+                                 q.reshape(q.shape[0], -1), self.d2c_map,
+                                 m.c2d_idx, m.c2d_mask, self.F.reshape(-1))
         return out.reshape(q.shape)
 
     def _jacobian_departure(self, dep):

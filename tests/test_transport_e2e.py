@@ -206,3 +206,16 @@ def test_line_timeint():
                      filter_="caas", limiter="caas", timeint="interpline",
                      verbose=False)
     assert out.cv_gll < 5e-14
+
+
+def test_interp_f32_invariants():
+    """The f32 interp fast path (bench config): conservation and bounds
+    are enforced in f64 downstream, so the invariants match the f64 path;
+    only O(1e-7) interpolation noise enters the solution."""
+    kw = dict(ne=4, np_=4, nsteps=3, ics=("cosinebells",), filter_="caas",
+              limiter="caas", nsub=2, verbose=False)
+    out32 = driver.run(geom_dtype="f32", interp_dtype="f32", **kw)
+    out64 = driver.run(**kw)
+    assert out32.cv_gll < 5e-14
+    assert out32.max_step_bounds_err == 0.0
+    assert abs(out32.l2_err - out64.l2_err) < 1e-4
