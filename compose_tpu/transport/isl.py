@@ -286,8 +286,11 @@ class IslTransport:
                 w.astype(jnp.float32)).astype(jnp.float64)   # (nt, cnn)
         else:
             q_interp = self._interp(q, ci, w)                # (nt, cnn)
-        q_tgt = q_interp[:, self.d2c_map].reshape(
-            q.shape[0], m.ncell, m.np2)
+        # Scatter to DGLL slots tracer-innermost: indexing the last axis
+        # of (nt, cnn) gathers scalars; (cnn, nt) rows are nt-wide.
+        q_tgt = jnp.moveaxis(
+            jnp.moveaxis(q_interp, 0, -1)[self.d2c_map], -1, 0).reshape(
+                q.shape[0], m.ncell, m.np2)
 
         if cfg.filter == "none":
             rho_out = (self._dss(rho_tgt) if cfg.rho_isl else rho_tgt)
@@ -336,8 +339,12 @@ class IslTransport:
             q_max_cell = jnp.where(fuse, jnp.maximum(q_max_cell, fmax),
                                    q_max_cell)
         node_src_cell = ci[self.d2c_map].reshape(m.ncell, m.np2)
-        q_min_node = q_min_cell[:, node_src_cell]            # (nt, ncell, np2)
-        q_max_node = q_max_cell[:, node_src_cell]
+        # Tracer-innermost bounds gather (wide rows; see q_tgt above).
+        qmm = jnp.stack([q_min_cell, q_max_cell])            # (2, nt, ncell)
+        qmm_n = jnp.moveaxis(
+            jnp.moveaxis(qmm, (0, 1), (-2, -1))[node_src_cell], (-2, -1),
+            (0, 1))                                          # (2, nt, nc, np2)
+        q_min_node, q_max_node = qmm_n[0], qmm_n[1]
 
         if cfg.filter == "caas-node":
             # Global-only node-granularity CAAS (glbl_only_lcldyn,

@@ -58,3 +58,36 @@ def test_sharded_step_matches_single_device(ndev):
     # pin the global sums; demand near-bitwise agreement.
     assert dr < 1e-13, dr
     assert dq < 1e-13, dq
+
+
+def test_halo_exchange_bitwise():
+    """The O(perimeter) halo exchange (parallel/halo.py) reproduces the
+    global-gather departure interpolation BITWISE on an 8-device mesh, and
+    its coverage check validates the CFL/halo-depth assumption
+    (slmmir_remapper.cpp:7)."""
+    import numpy as np
+    import jax
+    from compose_tpu import driver
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.transport import IslConfig, IslTransport, gallery
+    from compose_tpu.parallel import halo, sharding
+
+    ne, np_, nt = 16, 4, 3
+    mesh = cubed_sphere.build(ne, np_)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=np_, filter="caas", limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    q = driver.init_tracers(mesh, ("gaussianhills", "cosinebells",
+                                   "xyztrig"))
+    dt = 86400.0 * 12 / 120
+    _, ci, w = jax.jit(model._departure_data)(0.0, dt)
+    ref = model._interp(q, ci, w)[:, model.d2c_map].reshape(
+        nt, mesh.ncell, mesh.np2)
+
+    dmesh = sharding.cell_mesh(8)
+    maps = halo.HaloMaps(mesh, 8, depth=2)
+    assert maps.coverage_ok(ci, model.d2c_map, mesh.np2)
+    assert maps.comm_fraction < 1.0
+    out = halo.halo_interp(dmesh, maps, q, ci, w, model.d2c_map)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() == 0.0
