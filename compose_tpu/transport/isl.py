@@ -33,6 +33,7 @@ from ..mesh import cubed_sphere
 from ..ops import local_qp, sphere, sqr
 from ..ops.reduce import bfb_sum
 from . import dss, limiter as limiter_mod, spf, timeint
+from .dss_face import FaceDss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +91,9 @@ class IslTransport:
         self.deriv_at_nodes = self.gll.eval_deriv(self.gll.x)  # (node, bf)
         self.F = mesh.dgbfi_gll  # -dmc f: Homme mass definition
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
+        # Face-grid DSS (O(perimeter) slice arithmetic; transport/dss_face)
+        # when the mesh has the standard numbering, else the gather path.
+        self.face_dss = FaceDss.build(mesh)
         if config.filter not in ("none", "caas-node"):
             self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
         else:
@@ -190,7 +194,10 @@ class IslTransport:
         vb = self.basis.eval(b)
         w = (vb[:, :, None] * va[:, None, :]).reshape(m.cnn, m.np2)
         if f32:
-            dep = dep.astype(jnp.float64)
+            # dep stays f32: its only downstream use is the departure
+            # Jacobian, whose input noise is already f32-level - running
+            # that algebra in f64 emulation buys no accuracy (the ratio is
+            # cast back to f64 in _step_impl).
             w = w.astype(jnp.float64)
         return dep, ci, w
 
@@ -201,7 +208,9 @@ class IslTransport:
         return jnp.einsum('...cx,cx->...c', src, w)
 
     def _dss(self, field):
-        """Gather-based DSS of a (ncell, np2) or (nt, ncell, np2) field."""
+        """DSS of a (ncell, np2) or (nt, ncell, np2) field."""
+        if self.face_dss is not None:
+            return self.face_dss.dss(field)
         m = self.mesh
         flat = field.reshape(field.shape[:-2] + (-1,))
         if flat.ndim == 2:
@@ -213,7 +222,9 @@ class IslTransport:
         return out.reshape(field.shape)
 
     def _dss_q(self, rho_dg, q):
-        """Gather-based mixing-ratio DSS; q: (nt, ncell, np2)."""
+        """Mixing-ratio DSS; q: (nt, ncell, np2)."""
+        if self.face_dss is not None:
+            return self.face_dss.dss_q(rho_dg, q)
         m = self.mesh
         out = dss.dss_q_gather_t(rho_dg.reshape(-1),
                                  q.reshape(q.shape[0], -1), self.d2c_map,
@@ -224,7 +235,8 @@ class IslTransport:
         """Isoparametric |J| of the departure mesh at every DGLL node
         (slmmir_remapper_isl.cpp:152-224, calc_isoparametric_jacobian)."""
         m = self.mesh
-        D = self.deriv_at_nodes                      # (node, basisfn)
+        # Runs at the dtype of dep (f32 geometry stays native f32).
+        D = self.deriv_at_nodes.astype(dep.dtype)    # (node, basisfn)
         # Departure positions of each cell's np x np nodes, [j, i] layout.
         pc = dep[m.dgll2cgll].reshape(m.ncell, m.np_, m.np_, 3)
         f = pc                                        # eval at nodes: f = p
@@ -271,7 +283,7 @@ class IslTransport:
         if cfg.rho_isl:
             rho_interp = self._interp(rho, ci, w)            # (cnn,)
             Jdep = self._jacobian_departure(dep)             # (ncell, np2)
-            ratio = Jdep / m.jac_node
+            ratio = Jdep.astype(m.jac_node.dtype) / m.jac_node
             rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
                 m.ncell, m.np2)
         elif rho_tgt_ext is not None:
