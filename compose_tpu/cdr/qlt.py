@@ -204,8 +204,15 @@ class QLT:
         self.tree = tree_mod.build(ncells, imbalanced_tree)
         self._run_jit = None
 
-    def run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None):
-        """Jitted entry point; compiles once per (shape, dtype) signature."""
+    def run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None,
+            root_extra=None):
+        """Jitted entry point; compiles once per (shape, dtype) signature.
+
+        root_extra: optional (nt,) mass added directly to the ROOT total -
+        the reference spf contract `root_mass = Q_data(root,2) + extra_mass`
+        (slmm_spf.cpp:837-843), which redistributes a global discrepancy
+        without perturbing any leaf channel.
+        """
         import jax
         if self._run_jit is None:
             self._run_jit = jax.jit(self._run)
@@ -216,9 +223,13 @@ class QLT:
         else:
             args += [Qm, Qm]  # placeholders, unused
         args += [Qm_prev if (pt & CONSERVE) else Qm]
+        if root_extra is None:
+            root_extra = jnp.zeros(Qm.shape[:1], Qm.dtype)
+        args += [root_extra]
         return self._run_jit(*args)
 
-    def _run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None):
+    def _run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None,
+             root_extra=None):
         pt = self.problem_type
         t = self.tree
         nt = Qm.shape[0]
@@ -284,6 +295,8 @@ class QLT:
             M_root = V_prev[:, root]
         else:
             M_root = V_Qm[:, root]
+        if root_extra is not None:
+            M_root = M_root + root_extra
         M = jnp.zeros((nt, nn), dtype).at[:, root].set(M_root)
 
         # ---- Root-to-leaf: per-level batched node QPs. For the

@@ -95,6 +95,15 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     Defaults mirror the reference regression rows
     (slmm_runtests.py:113-128): 12 steps of the 12-day deformational flow.
     """
+    # Positive-only filter spellings (-mono qlt-pve/caas-pve,
+    # slmmir.hpp:144-169): only qlt-pve is positive-only
+    # (is_positive_only); caas-pve maps to the plain caas redistribution
+    # with the standard bounds (to_mrd), i.e. behaves as caas in ISL.
+    positive_only = filter_ == "qlt-pve"
+    if filter_.endswith("-pve"):
+        filter_ = filter_[:-len("-pve")]
+        if method not in ("pisl", "pislu", "isl"):
+            raise ValueError("-mono *-pve is an ISL-family filter")
     rotate = None
     if rotate_grid:
         # Fixed pseudo-random rotations from the reference
@@ -140,6 +149,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         rho_remapper = IrTransport(mesh, wind, ir_cfg)
         cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
                         limiter=limiter, rho_isl=False, nsub=nsub,
+                        positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
                         timeint=timeint, interp_dtype=interp_dtype)
         model = IslTransport(mesh, wind, cfg)
@@ -150,6 +160,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
                         limiter=limiter,
                         rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
+                        positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
                         timeint=timeint, interp_dtype=interp_dtype)
         model = IslTransport(mesh, wind, cfg)
@@ -307,8 +318,14 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         max_step_mass_err = max(max_step_mass_err,
                                 abs(mass - mass_prev) / max(1.0, abs(mass)))
         mass_prev = mass
-        bl = max(0.0, q_min0 - float(jnp.min(q[0])))
-        bh = max(0.0, float(jnp.max(q[0])) - q_max0)
+        if positive_only:
+            # Positive-only runs check nonnegativity only
+            # (Observer::check, slmmir.cpp:938-941).
+            bl = max(0.0, -float(jnp.min(q[0])))
+            bh = 0.0
+        else:
+            bl = max(0.0, q_min0 - float(jnp.min(q[0])))
+            bh = max(0.0, float(jnp.max(q[0])) - q_max0)
         max_step_bounds_err = max(max_step_bounds_err, bl, bh)
         if obs:
             obs.add_obs(tf, rho, list(q))
@@ -387,7 +404,8 @@ def main(argv=None):
     p.add_argument("-nsteps", type=int, default=12)
     p.add_argument("-T", type=float, default=12.0)
     p.add_argument("-mono", dest="filter_", default="qlt",
-                   choices=["qlt", "caas", "mn2", "caas-node", "none"])
+                   choices=["qlt", "qlt-pve", "caas", "caas-pve", "mn2",
+                            "caas-node", "none"])
     p.add_argument("-lim", dest="limiter", default="mn2",
                    choices=["mn2", "caas", "caags", "qlt", "none"])
     p.add_argument("-basis", default="GllNodal")

@@ -339,7 +339,34 @@ class IslTransport:
         Q_mass_tgt = bfb_sum(Ff[None] * Q_tgt.reshape(nt, -1), axis=-1)
 
         # Source-cell q bounds -> per-target-node bounds via the departure
-        # cell of each node.
+        # cell of each node. Positive-only filters (-mono qlt-pve;
+        # Filter::is_positive_only, slmmir.hpp:167-169) replace them with
+        # the fixed [0, 2] record of slmmir_remapper_isl.cpp:1332-1336.
+        if cfg.positive_only:
+            q_min_node = jnp.zeros_like(q_tgt)
+            q_max_node = jnp.full_like(q_tgt, 2.0)
+            rhom = F[None] * rho_tgt[None]
+            Qc_min = jnp.zeros(Q_tgt.shape[:2], Q_tgt.dtype)
+            Qc_max = 2.0 * jnp.sum(rhom, axis=-1)
+            Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
+            redist = self.mrd.redistribute(
+                jnp.sum(F * rho_tgt, axis=-1), Qc_min, Qc_mass, Qc_max,
+                Q_mass_src - Q_mass_tgt)
+            delta = redist - Qc_mass
+            # Local step: the nonnegativity limiter on the tracer MASSES
+            # (md.limit_density(ti, tgti, Qm_extra),
+            # slmmir_remapper_isl.cpp:1400-1402).
+            Q_tgt = jax.vmap(
+                lambda Qi, di: limiter_mod.limit_density(F, Qi, di))(
+                    Q_tgt, delta)
+            # Q -> q without the bounds clip (:1443-1449: zero-density
+            # nodes get 0; no min/max cleanup in the positive-only path).
+            rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            q_new = jnp.where(rho_tgt[None] == 0, 0.0,
+                              Q_tgt / rho_safe[None])
+            q_out = self._dss_q(rho_tgt, q_new)
+            return rho_tgt, q_out
+
         q_min_cell = jnp.min(q, axis=-1)                     # (nt, ncell)
         q_max_cell = jnp.max(q, axis=-1)
         if self.fitext is not None:

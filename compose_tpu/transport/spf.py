@@ -86,9 +86,11 @@ class MassRedistributor:
         self.ncell = ncell
         self.method = method
         if method == "qlt":
-            self._qlt = qlt_mod.QLT(
-                ncell,
-                problem_type=qlt_mod.SHAPEPRESERVE | qlt_mod.CONSERVE)
+            # Shapepreserve-only leaves + a direct root-mass override (the
+            # reference's root contract, slmm_spf.cpp:837-843); no conserve
+            # (Qm_prev) channel is needed.
+            self._qlt = qlt_mod.QLT(ncell,
+                                    problem_type=qlt_mod.SHAPEPRESERVE)
         else:
             self._qlt = None
 
@@ -108,8 +110,11 @@ class MassRedistributor:
             Qm_min = jnp.atleast_2d(Q_min)
             Qm_max = jnp.atleast_2d(Q_max)
             extra = jnp.broadcast_to(jnp.asarray(extra_mass), Qm.shape[:1])
-            # Fold extra mass into the conserve channel target.
-            prev = Qm + (extra / self.ncell)[:, None]
-            out = self._qlt.run(rho_mass, Qm, Qm_min, Qm_max, prev)
+            # Root-mass contract (slmm_spf.cpp:837-843): the tree solves
+            # for root total = l2r-summed Q mass + extra; leaf channels are
+            # untouched (no extra/ncell spread that could fake-saturate
+            # leaf bounds).
+            out = self._qlt.run(rho_mass, Qm, Qm_min, Qm_max,
+                                root_extra=extra)
             return out[0] if squeeze else out
         raise ValueError(f"unknown spf method {self.method}")

@@ -39,6 +39,41 @@ def test_golden_pisl_qlt_ne10():
     check(out, 3.34e-1)
 
 
+def test_positive_only_smoke():
+    """-mono qlt-pve (positive-only): bounds relax to [0, 2]
+    (slmmir_remapper_isl.cpp:1332), conservation still exact, and the
+    shape-bounds no longer clamp (max may exceed the qlt-run max)."""
+    out = driver.run(ne=4, np_=4, nsteps=3, ics=("slottedcylinders",),
+                     filter_="qlt-pve", limiter="mn2", nsub=2,
+                     verbose=False)
+    assert out.min_e >= 0.0
+    assert out.max_e <= 2.0
+    assert out.cv_gll <= 5e-14
+    assert out.max_step_mass_err < 1e-12
+    # caas-pve is to_mrd-equivalent to caas (slmmir.hpp:173-179): same
+    # redistribution, standard bounds.
+    out_cp = driver.run(ne=4, np_=4, nsteps=3, ics=("slottedcylinders",),
+                        filter_="caas-pve", limiter="mn2", nsub=2,
+                        verbose=False)
+    out_c = driver.run(ne=4, np_=4, nsteps=3, ics=("slottedcylinders",),
+                       filter_="caas", limiter="mn2", nsub=2, verbose=False)
+    assert out_cp.l2_err == out_c.l2_err
+
+
+@pytest.mark.slow
+def test_golden_pisl_qlt_pve_ne10():
+    # slmm_runtests.py:121-122: pisl np4 ne10 mono=qlt-pve ->
+    # l2 <= 3.36e-1, cv_gll <= 5e-14, min=0, max=2.
+    out = driver.run(ne=10, np_=4, nsteps=12, ics=ICS, filter_="qlt-pve",
+                     limiter="mn2", verbose=False)
+    assert 0 < out.l2_err <= 3.36e-1
+    assert out.cv_gll <= 5e-14
+    assert out.min_e >= 0.0
+    assert out.max_e <= 2.0
+    assert out.max_step_mass_err < 1e-12
+    assert out.max_step_bounds_err < 5e-13
+
+
 @pytest.mark.slow
 def test_golden_pisl_caas_ne10():
     # slmm_runtests.py:123-124: pisl np4 ne10 mono=caas -> l2 <= 3.47e-1.
