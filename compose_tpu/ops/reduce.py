@@ -9,6 +9,13 @@ changes with sharding. `bfb_sum` fixes the summation order to a binary tree
 over the *global* index space, so the result is bitwise identical regardless
 of how (or whether) the array is sharded - the same contract as the
 reference's BfbTreeAllReducer.
+
+The tree pairs ADJACENT elements (level j sums contiguous blocks of 2^j
+leaves). That makes every aligned contiguous power-of-two block a complete
+subtree, which is what lets a block-sharded array reproduce the global sum
+bitwise from per-block partials (cdr/bfb.py builds the distributed
+completion; the old fold-in-half pairing `x[:h]+x[h:]` did NOT have this
+property - blocks were strided across subtrees).
 """
 
 import jax.numpy as jnp
@@ -22,11 +29,11 @@ def _next_pow2(n: int) -> int:
 
 
 def bfb_sum(x, axis: int = -1):
-    """Sum along `axis` with a fixed pairwise binary-tree order.
+    """Sum along `axis` with a fixed adjacent-pairwise binary-tree order.
 
     The tree is defined purely by global element index (pad with zeros to the
-    next power of two, then halve log2(n) times), so the result is independent
-    of device layout and identical run to run.
+    next power of two, then pairwise-sum adjacent elements log2(n) times), so
+    the result is independent of device layout and identical run to run.
     """
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
@@ -35,8 +42,7 @@ def bfb_sum(x, axis: int = -1):
         pad = [(0, 0)] * (x.ndim - 1) + [(0, p - n)]
         x = jnp.pad(x, pad)
     while x.shape[-1] > 1:
-        h = x.shape[-1] // 2
-        x = x[..., :h] + x[..., h:]
+        x = x[..., 0::2] + x[..., 1::2]
     return x[..., 0]
 
 
