@@ -89,7 +89,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         fitext=False, rotate_grid=False, timeint="exact", perturb_rho=0.0,
         footprint=False, io_type=None, out_prefix="slmmir_out",
         write_every=1, vis_res=64, prefine=0, nonuni=False, pg=0,
-        mesh_type="geometric", interp_dtype="f64", verbose=True):
+        mesh_type="geometric", interp_dtype="f64", verbose=True,
+        timers=False):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -351,6 +352,14 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                     print(f"> mp tracer {i} re l2 {l2:9.3e}")
     jnp.asarray(rho).block_until_ready()
     et = (time.time() - t_start) / nsteps
+    if timers and isinstance(model, IslTransport):
+        # Per-phase breakdown (the reference's SLMM_TIME Timer printout,
+        # slmmir.hpp:253-299 / slmmir.cpp).
+        pt = model.phase_times(rho, q, 0.0, dt)
+        tot = pt.get("full step", 1.0)
+        for name, sec in pt.items():
+            print(f"T {name:<24s} {sec:9.3e} s/step "
+                  f"{100 * sec / tot:5.1f}%")
     if writer is not None:
         writer.close()
     if vis_state is not None:
@@ -431,6 +440,9 @@ def main(argv=None):
                    help="record metrics in time to this JSON file")
     p.add_argument("-footprint", action="store_true",
                    help="track ISL communication footprints")
+    p.add_argument("-timers", action="store_true",
+                   help="print the per-phase step-time breakdown "
+                        "(SLMM_TIME equivalent)")
     p.add_argument("-io-type", dest="io_type", default=None,
                    choices=["netcdf", "internal"])
     p.add_argument("-o", dest="out_prefix", default="slmmir_out")
@@ -463,7 +475,7 @@ def main(argv=None):
         io_type=a.io_type, out_prefix=a.out_prefix,
         write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
         nonuni=bool(a.nonuni), pg=a.pg, mesh_type=mt,
-        interp_dtype=a.interp_dtype)
+        interp_dtype=a.interp_dtype, timers=a.timers)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,10 @@ def sharded_step(model, mesh: Mesh):
     over replicated mesh arrays; GSPMD partitions the per-cell compute and
     inserts collectives for the cross-cell pieces (departure gathers, DSS
     scatter, global reductions)."""
+    # pallas_call has no GSPMD partitioning rule; the sharded step must
+    # take the XLA roll path for the DSS (see FaceDss._use_pallas).
+    if getattr(model, "face_dss", None) is not None:
+        model.face_dss.pallas_enabled = False
     s_rho = NamedSharding(mesh, P("cells", None))
     s_q = NamedSharding(mesh, P(None, "cells", None))
     s_scalar = NamedSharding(mesh, P())

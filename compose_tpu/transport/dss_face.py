@@ -23,12 +23,16 @@ only nodes the passes miss are on CUBE edges (two or three faces meet,
 ~12*ne*(np-1) of them); those are fixed afterwards with the exact gather
 formula over their <=4 coincident slots.
 
-Two execution paths with identical arithmetic order:
-  - XLA (any dtype/backend): jnp.roll merges; bitwise-equal to the
-    reference pass order, used for f64 and on CPU;
+Two execution paths with the same merge-pass structure:
+  - XLA (any dtype/backend): jnp.roll merges, used for f64 and on CPU;
   - Pallas TPU kernel (f32): all merges fuse into one VMEM-resident kernel
     (one HBM read + one write per tracer block) - measured 8.8x over the
-    round-1 slice-update formulation at ne30/np4/nt40 on v5e.
+    round-1 slice-update formulation at ne30/np4/nt40 on v5e. The paths
+    agree to f32 roundoff, not bitwise: dss() divides by the precomputed
+    f64-merged den0 on the XLA path but by the in-kernel f32-merged den on
+    the Pallas path. The Pallas path is gated on single-device f32 TPU
+    inputs and on a VMEM lane budget (see _use_pallas); everything else
+    falls back to XLA.
 
 The construction is validated structurally at build time (union-find over
 the pass-merged pairs vs. the mesh's d2c map), so any mesh whose numbering
@@ -116,6 +120,7 @@ class FaceDss:
 
     def __init__(self, ne, np_, d2c_map_np, c2d_idx_np, c2d_mask_np, F):
         self.ne, self.np_ = ne, np_
+        self.pallas_enabled = True
         ncell, np2 = 6 * ne * ne, np_ * np_
         ndgll = ncell * np2
         f, cy, cx, j, i = _decode_slots(ne, np_)
@@ -300,8 +305,19 @@ class FaceDss:
               self.den0.reshape(1, -1).astype(f32), mxl, mxr, myd, myu, qf)
         return cg[:nt] if ntp != nt else cg
 
+    # The kernel keeps full (8, ndgll) + seven (1, ndgll) f32 rows plus
+    # ~15 live roll temporaries in VMEM; stay well under the 100MB
+    # vmem_limit_bytes and fall back to the XLA roll path beyond that
+    # (~ne55 at np4). 1.5e6 lanes * 4B * ~15 ~= 90MB.
+    _PALLAS_MAX_LANES = 1_500_000
+
     def _use_pallas(self, dtype):
+        # pallas_enabled is cleared by sharded callers: pallas_call has no
+        # GSPMD partitioning rule, so cell-sharded operands must take the
+        # XLA roll path (or a shard_map-wrapped kernel).
         return (pl is not None and dtype == jnp.float32
+                and self.pallas_enabled
+                and self.ndgll <= self._PALLAS_MAX_LANES
                 and jax.default_backend() == "tpu")
 
     # -- public ops --------------------------------------------------------

@@ -272,6 +272,58 @@ class IslTransport:
         med = np.partition(nout, len(nout) // 2)[len(nout) // 2]
         return int(nout.min()), int(med), float(nout.mean()), int(nout.max())
 
+    def phase_times(self, rho, q, ts, tf, iters: int = 10):
+        """Per-phase wall times of one step (the reference's SLMM_TIME
+        Timer breakdown, slmmir.hpp:253-299): each separable phase is
+        jitted and timed on its own; the CDR+limiter share is the residual
+        of the full step. Returns an ordered {phase: sec} dict."""
+        import time as _time
+
+        def tm(fn, *args):
+            out = fn(*args)                       # compile + warm
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / iters, out
+
+        t = {}
+        dep_fn = jax.jit(self._departure_data)
+        t["departure"], (dep, ci, w) = tm(dep_fn, ts, tf)
+
+        f32 = self.config.interp_dtype == "f32"
+
+        def interp_scatter(q, ci, w):
+            if f32:
+                qi = self._interp(q.astype(jnp.float32), ci,
+                                  w.astype(jnp.float32)).astype(jnp.float64)
+            else:
+                qi = self._interp(q, ci, w)
+            return jnp.moveaxis(
+                jnp.moveaxis(qi, 0, -1)[self.d2c_map], -1, 0).reshape(
+                    q.shape[0], self.mesh.ncell, self.mesh.np2)
+
+        t["tracer interp+scatter"], q_tgt = tm(
+            jax.jit(interp_scatter), q, ci, w)
+        if self.config.rho_isl:
+            def rho_phase(rho, dep, ci, w):
+                ri = self._interp(rho, ci, w)
+                Jdep = self._jacobian_departure(dep)
+                ratio = Jdep.astype(self.mesh.jac_node.dtype) \
+                    / self.mesh.jac_node
+                return ratio * ri[self.d2c_map].reshape(
+                    self.mesh.ncell, self.mesh.np2)
+            t["rho interp+jacobian"], rho_tgt = tm(
+                jax.jit(rho_phase), rho, dep, ci, w)
+        else:
+            rho_tgt = rho
+        t["dss_q"], _ = tm(jax.jit(self._dss_q), rho_tgt, q_tgt)
+        t["full step"], _ = tm(self._step, rho, q, ts, tf)
+        t["cdr+limiter (residual)"] = t["full step"] - sum(
+            v for k, v in t.items() if k != "full step")
+        return t
+
     # ------------------------------------------------------------------
     def _step_impl(self, rho, q, ts, tf, rho_tgt_ext=None):
         cfg = self.config
