@@ -1,0 +1,289 @@
+"""Distributed QLT: a real sharded level schedule over the reduction tree.
+
+Counterpart of the reference's rank-pruned trees + level schedules
+(/root/reference/cedr/cedr_tree.cpp:185-213 builds the deadlock-free level
+schedule; cedr_qlt.cpp:619-640 runs the l2r/r2l sweeps with one message per
+rank per level). The TPU-native design exploits that device shards are
+CONTIGUOUS leaf blocks, so each shard's block decomposes into O(log n)
+maximal aligned subtrees of the GLOBAL tree (the same decomposition as
+cdr/bfb.py):
+
+  l2r:  each shard sweeps its own subtrees with a per-shard level schedule
+        (flat padded index arrays selected by `axis_index`), producing the
+        values of its subtree ROOTS ("frontier" nodes). ONE small
+        `all_gather` ships every shard's frontier (O(n_shards * log n)
+        scalars per channel) and every shard redundantly combines the
+        remaining "top" of the tree (< 2*n_shards nodes).
+  r2l:  every shard redundantly solves the top node QPs down to the
+        frontier, takes its own frontier masses from the (replicated)
+        result, and finishes the sweep locally.
+
+Because the tree topology and every node's arithmetic are the global ones,
+the result is BITWISE equal to the single-chip QLT (cdr/qlt.py) for every
+contiguous equal-block decomposition - the reference's decomposition
+invariance contract (cedr_bfb_tree_allreduce.hpp:11-14) - while no
+full-length (nt, nnodes) array ever crosses chips: communication is the
+frontier gather, O(perimeter-free log n), not O(n).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tree as tree_mod
+from .qlt import (CONSERVE, NONNEGATIVE, SHAPEPRESERVE, CONSISTENT,
+                  solve_node_problem)
+
+
+def _tree_spans(t):
+    """Leaf span [lo, hi) per node of a tree built leaves-first."""
+    lo = np.full(t.nnodes, -1, np.int64)
+    hi = np.full(t.nnodes, -1, np.int64)
+    lo[:t.nleaf] = np.arange(t.nleaf)
+    hi[:t.nleaf] = np.arange(t.nleaf) + 1
+    for ids, k0, k1 in t.levels:
+        ids, k0, k1 = map(np.asarray, (ids, k0, k1))
+        lo[ids] = lo[k0]
+        hi[ids] = np.where(k1 < 0, hi[k0], hi[np.maximum(k1, 0)])
+    return lo, hi
+
+
+class ShardedQLT:
+    """QLT over `ncells` leaves block-sharded across `n_shards` devices.
+
+    Supports the sum-combining problem types (SHAPEPRESERVE, NONNEGATIVE,
+    each optionally | CONSERVE) - the types the transport step uses. The
+    dynamic-range (consistent-only) types stay on the single-chip path.
+    """
+
+    def __init__(self, ncells: int, n_shards: int,
+                 problem_type: int = SHAPEPRESERVE,
+                 prefer_mass_con_to_bounds: bool = False):
+        assert ncells % n_shards == 0, (ncells, n_shards)
+        assert n_shards >= 2, "use cdr.qlt.QLT for a single shard"
+        pt = problem_type
+        if (pt & CONSISTENT) and not (pt & SHAPEPRESERVE):
+            raise NotImplementedError(
+                "dynamic-range types are single-chip only")
+        self.ncells = ncells
+        self.n_shards = n_shards
+        self.problem_type = pt
+        self.prefer = prefer_mass_con_to_bounds
+        t = tree_mod.build(ncells)
+        self.tree = t
+        B = ncells // n_shards
+        self.block = B
+
+        lo, hi = _tree_spans(t)
+        owner = np.where((lo // B) == ((hi - 1) // B), lo // B, -1)
+        # Parent map (for the frontier).
+        parent = np.full(t.nnodes, -1, np.int64)
+        for ids, k0, k1 in t.levels:
+            ids, k0, k1 = map(np.asarray, (ids, k0, k1))
+            parent[k0] = ids
+            parent[np.maximum(k1, 0)] = np.where(k1 < 0,
+                                                 parent[np.maximum(k1, 0)],
+                                                 ids)
+
+        # ---- Per-shard local structure.
+        # Local slots: [0, B) leaves, [B, B+nloc_int) internal, dummy last.
+        loc_of = {}                       # global node id -> (shard, slot)
+        nloc_int = np.zeros(n_shards, np.int64)
+        for g in range(t.nleaf):
+            loc_of[g] = (g // B, g % B)
+        for g in range(t.nleaf, t.nnodes):
+            s = owner[g]
+            if s >= 0:
+                loc_of[g] = (s, B + int(nloc_int[s]))
+                nloc_int[s] += 1
+        max_int = int(nloc_int.max())
+        self.loc_size = B + max_int + 1   # + dummy slot
+        D = self.loc_size - 1
+
+        # Local level schedule: per global level, per shard, padded arrays.
+        self.local_levels = []            # (ids, k0, k1) each (n_shards, m)
+        for ids, k0, k1 in t.levels:
+            ids, k0, k1 = map(np.asarray, (ids, k0, k1))
+            rows = [[] for _ in range(n_shards)]
+            for i, g in enumerate(ids):
+                s = owner[g]
+                if s >= 0:
+                    kk0 = loc_of[int(k0[i])][1]
+                    kk1 = -1 if k1[i] < 0 else loc_of[int(k1[i])][1]
+                    rows[s].append((loc_of[g][1], kk0, kk1))
+            m = max(len(r) for r in rows)
+            if m == 0:
+                continue
+            lids = np.full((n_shards, m), D, np.int32)
+            lk0 = np.full((n_shards, m), D, np.int32)
+            lk1 = np.full((n_shards, m), -1, np.int32)
+            for s in range(n_shards):
+                for j, (a, b, c) in enumerate(rows[s]):
+                    lids[s, j], lk0[s, j], lk1[s, j] = a, b, c
+            self.local_levels.append(
+                (jnp.asarray(lids), jnp.asarray(lk0), jnp.asarray(lk1)))
+
+        # ---- Frontier: nodes owned by a shard whose parent is top (or the
+        # root itself if it happens to be owned - impossible for
+        # n_shards >= 2). Ordered by global id per shard; padded with D.
+        frontier = [[] for _ in range(n_shards)]
+        for g in range(t.nnodes):
+            s = owner[g] if g >= t.nleaf else g // B
+            if s >= 0 and (parent[g] < 0 or owner[parent[g]] < 0):
+                # leaves are owned by construction; owner[] of a leaf is its
+                # block. parent < 0 only for the root.
+                if g != t.root:
+                    frontier[s].append(g)
+        assert owner[t.root] < 0
+        max_nf = max(len(f) for f in frontier)
+        self.max_nf = max_nf
+        fr_idx = np.full((n_shards, max_nf), D, np.int32)
+        fslot_of = {}                     # global node id -> gathered slot
+        for s in range(n_shards):
+            for i, g in enumerate(sorted(frontier[s])):
+                fr_idx[s, i] = loc_of[g][1]
+                fslot_of[g] = s * max_nf + i
+        self.frontier_idx = jnp.asarray(fr_idx)
+
+        # ---- Top structure: gathered frontier slots first, then top nodes.
+        top_nodes = [g for g in range(t.nleaf, t.nnodes) if owner[g] < 0]
+        F_tot = n_shards * max_nf
+        tslot_of = dict(fslot_of)
+        for i, g in enumerate(top_nodes):
+            tslot_of[g] = F_tot + i
+        self.top_size = F_tot + len(top_nodes) + 1   # + dummy (unused)
+        self.n_top = len(top_nodes)
+        self.top_levels = []
+        for ids, k0, k1 in t.levels:
+            ids, k0, k1 = map(np.asarray, (ids, k0, k1))
+            rows = [(tslot_of[int(g)], tslot_of[int(k0[i])],
+                     -1 if k1[i] < 0 else tslot_of[int(k1[i])])
+                    for i, g in enumerate(ids) if owner[g] < 0]
+            if not rows:
+                continue
+            tids = np.array([r[0] for r in rows], np.int32)
+            tk0 = np.array([r[1] for r in rows], np.int32)
+            tk1 = np.array([r[2] for r in rows], np.int32)
+            self.top_levels.append(
+                (jnp.asarray(tids), jnp.asarray(tk0), jnp.asarray(tk1)))
+        self.root_slot = tslot_of[t.root]
+
+    # ------------------------------------------------------------------
+    def run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None,
+            root_extra=None, axis_name="cells"):
+        """Inside shard_map: rhom (B,), Qm/Qm_min/Qm_max/Qm_prev (nt, B)
+        are this shard's leaf blocks. Returns (nt, B) leaf masses, bitwise
+        equal to QLT.run on the assembled global arrays."""
+        pt = self.problem_type
+        t = self.tree
+        B = self.block
+        nt = Qm.shape[0]
+        dtype = Qm.dtype
+        s = jax.lax.axis_index(axis_name)
+        D = self.loc_size - 1
+
+        if pt & NONNEGATIVE:
+            l2r_min, l2r_max = Qm, Qm
+        elif pt & SHAPEPRESERVE:
+            l2r_min, l2r_max = Qm_min, Qm_max
+        else:
+            raise ValueError("invalid problem type")
+
+        L = self.loc_size
+        W_rho = jnp.zeros((L,), dtype).at[:B].set(rhom)
+        W_min = jnp.zeros((nt, L), dtype).at[:, :B].set(l2r_min)
+        W_Qm = jnp.zeros((nt, L), dtype).at[:, :B].set(Qm)
+        W_max = jnp.zeros((nt, L), dtype).at[:, :B].set(l2r_max)
+        if pt & CONSERVE:
+            W_prev = jnp.zeros((nt, L), dtype).at[:, :B].set(Qm_prev)
+
+        def comb_sum(V, k0, k1):
+            v0 = V[..., k0]
+            v1 = jnp.where(k1 < 0, jnp.zeros_like(v0),
+                           V[..., jnp.maximum(k1, 0)])
+            return v0 + v1
+
+        # ---- Local l2r over this shard's subtrees.
+        for lids, lk0, lk1 in self.local_levels:
+            ids, k0, k1 = lids[s], lk0[s], lk1[s]
+            W_rho = W_rho.at[ids].set(comb_sum(W_rho, k0, k1))
+            W_min = W_min.at[:, ids].set(comb_sum(W_min, k0, k1))
+            W_Qm = W_Qm.at[:, ids].set(comb_sum(W_Qm, k0, k1))
+            W_max = W_max.at[:, ids].set(comb_sum(W_max, k0, k1))
+            if pt & CONSERVE:
+                W_prev = W_prev.at[:, ids].set(comb_sum(W_prev, k0, k1))
+
+        # ---- Frontier gather: O(n_shards * log n) scalars per channel.
+        fidx = self.frontier_idx[s]                     # (max_nf,)
+        f_rho = W_rho[fidx]
+        ch = [W_min[:, fidx], W_Qm[:, fidx], W_max[:, fidx]]
+        if pt & CONSERVE:
+            ch.append(W_prev[:, fidx])
+        f_tr = jnp.stack(ch)                            # (C, nt, max_nf)
+        g_rho = jax.lax.all_gather(f_rho, axis_name, axis=0).reshape(-1)
+        g_tr = jax.lax.all_gather(f_tr, axis_name, axis=2)
+        g_tr = g_tr.reshape(f_tr.shape[0], nt, -1)      # (C, nt, ns*max_nf)
+
+        TS = self.top_size
+        T_rho = jnp.zeros((TS,), dtype).at[:g_rho.shape[0]].set(g_rho)
+        nf = g_tr.shape[-1]
+        T_min = jnp.zeros((nt, TS), dtype).at[:, :nf].set(g_tr[0])
+        T_Qm = jnp.zeros((nt, TS), dtype).at[:, :nf].set(g_tr[1])
+        T_max = jnp.zeros((nt, TS), dtype).at[:, :nf].set(g_tr[2])
+        if pt & CONSERVE:
+            T_prev = jnp.zeros((nt, TS), dtype).at[:, :nf].set(g_tr[3])
+
+        # ---- Top l2r (replicated; < 2*n_shards nodes).
+        for tids, tk0, tk1 in self.top_levels:
+            T_rho = T_rho.at[tids].set(comb_sum(T_rho, tk0, tk1))
+            T_min = T_min.at[:, tids].set(comb_sum(T_min, tk0, tk1))
+            T_Qm = T_Qm.at[:, tids].set(comb_sum(T_Qm, tk0, tk1))
+            T_max = T_max.at[:, tids].set(comb_sum(T_max, tk0, tk1))
+            if pt & CONSERVE:
+                T_prev = T_prev.at[:, tids].set(comb_sum(T_prev, tk0, tk1))
+
+        # ---- Root + top r2l (replicated).
+        root = self.root_slot
+        M_root = (T_prev if pt & CONSERVE else T_Qm)[:, root]
+        if root_extra is not None:
+            M_root = M_root + root_extra
+        M_top = jnp.zeros((nt, TS), dtype).at[:, root].set(M_root)
+
+        def r2l(levels, M, V_rho, V_min, V_Qm, V_max):
+            for ids, k0, k1 in reversed(levels):
+                pd = jnp.stack([V_min[:, ids], V_Qm[:, ids], V_max[:, ids]],
+                               axis=-1)
+                k1s = jnp.maximum(k1, 0)
+                k0d = jnp.stack([V_min[:, k0], V_Qm[:, k0], V_max[:, k0]],
+                                axis=-1)
+                k1d = jnp.stack([V_min[:, k1s], V_Qm[:, k1s],
+                                 V_max[:, k1s]], axis=-1)
+                Qm_node = M[:, ids]
+                rhom_n = jnp.broadcast_to(V_rho[ids], Qm_node.shape)
+                rhom0 = jnp.broadcast_to(V_rho[k0], Qm_node.shape)
+                rhom1 = jnp.broadcast_to(
+                    jnp.where(k1 < 0, 1.0, V_rho[k1s]), Qm_node.shape)
+                Qm0, Qm1 = solve_node_problem(
+                    pt, rhom_n, pd, Qm_node, rhom0, k0d, rhom1, k1d,
+                    self.prefer)
+                single = k1 < 0
+                Qm0 = jnp.where(single, Qm_node, Qm0)
+                M = M.at[:, k0].set(Qm0)
+                M = M.at[:, k1s].set(jnp.where(single, M[:, k1s], Qm1))
+            return M
+
+        M_top = r2l(self.top_levels, M_top, T_rho, T_min, T_Qm, T_max)
+
+        # ---- Seed local masses from this shard's frontier and finish.
+        my_fr = jax.lax.dynamic_slice_in_dim(
+            M_top, s * self.max_nf, self.max_nf, axis=1)  # (nt, max_nf)
+        M_loc = jnp.zeros((nt, L), dtype).at[:, D].set(0.0)
+
+        def seed(M, fidx, vals):
+            return M.at[:, fidx].set(vals)
+
+        M_loc = seed(M_loc, fidx, my_fr)
+        local = [(lids[s], lk0[s], lk1[s])
+                 for lids, lk0, lk1 in self.local_levels]
+        M_loc = r2l(local, M_loc, W_rho, W_min, W_Qm, W_max)
+        return M_loc[:, :B]

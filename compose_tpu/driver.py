@@ -90,7 +90,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         footprint=False, io_type=None, out_prefix="slmmir_out",
         write_every=1, vis_res=64, prefine=0, nonuni=False, pg=0,
         mesh_type="geometric", interp_dtype="f64", verbose=True,
-        timers=False):
+        timers=False, tq=None, d2c=True):
     """One slmmir-style run; returns RunOutput.
 
     Defaults mirror the reference regression rows
@@ -134,7 +134,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     elif method in ("ir", "cdg"):
         from .transport.ir import IrConfig, IrTransport
         cfg = IrConfig(ne=ne, np_=np_, method=method, dmc=dmc,
-                       filter=filter_, limiter=limiter, nsub=nsub)
+                       filter=filter_, limiter=limiter, nsub=nsub,
+                       tq=tq, d2c=d2c)
         model = IrTransport(mesh, wind, cfg)
     elif method == "isl":
         # Mixed method: rho by forward cell-integrated remap, tracers by
@@ -146,7 +147,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         # choice (incl. the facet family) passes through.
         ir_dmc = "eh" if dmc == "none" else dmc
         ir_cfg = IrConfig(ne=ne, np_=np_, method="ir", dmc=ir_dmc,
-                          filter="none", limiter="none", nsub=nsub)
+                          filter="none", limiter="none", nsub=nsub,
+                          tq=tq)
         rho_remapper = IrTransport(mesh, wind, ir_cfg)
         cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
                         limiter=limiter, rho_isl=False, nsub=nsub,
@@ -418,6 +420,12 @@ def main(argv=None):
     p.add_argument("-lim", dest="limiter", default="mn2",
                    choices=["mn2", "caas", "caags", "qlt", "none"])
     p.add_argument("-basis", default="GllNodal")
+    p.add_argument("-tq", type=int, default=None,
+                   help="triangle-quadrature order for the IR/CDG T fill (slmmir -tq; 4 = reduced quadrature)")
+    p.add_argument("-d2c", dest="d2c", action="store_true",
+                   default=None,
+                   help="make CI fields continuous each step (slmmir -d2c; the library default is on, -no-d2c turns it off)")
+    p.add_argument("-no-d2c", dest="d2c", action="store_false")
     p.add_argument("-nsub", type=int, default=8)
     p.add_argument("-interp", dest="interp_dtype", default="f64",
                    choices=["f64", "f32"],
@@ -475,7 +483,8 @@ def main(argv=None):
         io_type=a.io_type, out_prefix=a.out_prefix,
         write_every=a.write_every, vis_res=a.vis_res, prefine=a.prefine,
         nonuni=bool(a.nonuni), pg=a.pg, mesh_type=mt,
-        interp_dtype=a.interp_dtype, timers=a.timers)
+        interp_dtype=a.interp_dtype, timers=a.timers, tq=a.tq,
+        d2c=True if a.d2c is None else a.d2c)
 
 
 if __name__ == "__main__":

@@ -63,9 +63,16 @@ def build(mesh: cubed_sphere.CubedSphereMesh, tq_order: int = None) -> IrData:
 def _build(mesh, tq_order):
     ne, np_ = mesh.ne, mesh.np_
     ncell, np2 = mesh.ncell, mesh.np2
+    # slmmir default for IR (slmmir.cpp:1816-1822).
+    m_order = {3: 14, 4: 18, 5: 20}.get(np_, 8 if np_ < 3 else 20)
     if tq_order is None:
-        # slmmir default for IR (slmmir.cpp:1816-1822).
-        tq_order = {3: 14, 4: 18, 5: 20}.get(np_, 8 if np_ < 3 else 20)
+        tq_order = m_order
+    # The mass matrix is one-time setup data; it always uses the
+    # accuracy-matched order (a reduced -tq like 4 underspans the np^2
+    # basis products for np > 2 and would make M singular - the reference
+    # only combines -tq 4 with np=2 subcell transport,
+    # slmm_runtests.py:244-265).
+    m_order = max(m_order, tq_order)
 
     corners = np.asarray(mesh.corners)               # (ncell, 4, 3)
 
@@ -116,7 +123,7 @@ def _build(mesh, tq_order):
     cands[~mask] = 0  # safe gather index; masked out in use
 
     # --- Full mass matrix per cell + Cholesky (slmmir_remap_data.cpp:118-231).
-    bary, qw = quadrature.get_coef(tq_order)
+    bary, qw = quadrature.get_coef(m_order)
     jb = jnp.asarray(bary)
     jqw = jnp.asarray(qw)
     jc = mesh.corners
@@ -158,8 +165,8 @@ def _build(mesh, tq_order):
         cands=jnp.asarray(cands),
         cands_mask=jnp.asarray(mask),
         chol=chol,
-        tq_bary=jb,
-        tq_w=jqw,
+        tq_bary=jnp.asarray(quadrature.get_coef(tq_order)[0]),
+        tq_w=jnp.asarray(quadrature.get_coef(tq_order)[1]),
         chol_ref=chol_ref,
         Jt=Jt,
         gll_w2=gll_w2,

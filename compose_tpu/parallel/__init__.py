@@ -1,1 +1,3 @@
 from .sharding import cell_mesh, shard_state, sharded_step  # noqa: F401
+from .halo import HaloMaps  # noqa: F401
+from .sharded import ShardedIsl  # noqa: F401

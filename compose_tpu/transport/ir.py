@@ -71,6 +71,13 @@ class IrConfig:
     limiter: str = "mn2"
     nsub: int = 8
     pair_chunks: int = 16        # lax.map chunks over (tgt, cand) pairs
+    # Triangle-quadrature order for the T fill (-tq, slmmir.cpp:30-32;
+    # default None = accuracy-matched order per np, 4 = the reference's
+    # reduced-quadrature regression rows, slmm_runtests.py:244-265).
+    tq: int = None
+    # Make fields continuous after the remap (-d2c, slmmir.cpp:66-69).
+    # The reference's CI rows run discontinuous unless -d2c is passed.
+    d2c: bool = True
 
 
 class IrTransport:
@@ -79,7 +86,7 @@ class IrTransport:
         self.mesh = mesh
         self.config = config
         self.wind = wind
-        self.ird = ir_data.build(mesh)
+        self.ird = ir_data.build(mesh, tq_order=config.tq)
         self.gll = basis_mod.GLL(config.np_)
         self.facet = config.dmc in _FACET
         self.F_sphere = mesh.dgbfi_sphere
@@ -493,7 +500,11 @@ class IrTransport:
             Q_tgt = lim(Q_tgt, qmin_n, qmax_n, delta)
 
         # DSS (plain, on rho and Q; slmmir.cpp:1335-1339 with
-        # mixing_ratio_input false for cell-integrated methods).
+        # mixing_ratio_input false for cell-integrated methods). Gated by
+        # -d2c: without it the reference leaves CI fields discontinuous.
+        if not cfg.d2c:
+            q_out = Q_tgt / jnp.where(rho_tgt == 0, 1.0, rho_tgt)[None]
+            return rho_tgt, q_out
         Ff = self.F_mass.reshape(-1)
         rho_out = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
                           m.cnn).reshape(m.ncell, m.np2)

@@ -137,11 +137,18 @@ class IslTransport:
         `rho_tgt`; with rho_isl=False and no rho_tgt, density is held.
         Returns (rho', q').
         """
+        # The mesh tables that appear as DIVISORS downstream (F, jac_node)
+        # are passed as runtime jit arguments, NOT closed-over constants:
+        # XLA rewrites divide-by-constant into multiply-by-reciprocal, and
+        # the sharded step (parallel/sharded.py) necessarily receives its
+        # table BLOCKS as runtime operands - threading them here keeps the
+        # two paths bitwise identical.
+        tables = (self.F, self.mesh.jac_node)
         if rho_tgt is None:
-            return self._step(rho, q, ts, tf)
+            return self._step(rho, q, ts, tf, mesh_tables=tables)
         if self._step_ext is None:
             self._step_ext = jax.jit(self._step_impl)
-        return self._step_ext(rho, q, ts, tf, rho_tgt)
+        return self._step_ext(rho, q, ts, tf, rho_tgt, mesh_tables=tables)
 
     # ------------------------------------------------------------------
     def _departure_data(self, ts, tf):
@@ -207,49 +214,64 @@ class IslTransport:
         src = field[..., ci, :]                      # (..., cnn, np2)
         return jnp.einsum('...cx,cx->...c', src, w)
 
-    def _dss(self, field):
+    def _dss(self, field, F=None):
         """DSS of a (ncell, np2) or (nt, ncell, np2) field."""
         if self.face_dss is not None:
             return self.face_dss.dss(field)
         m = self.mesh
+        Ff = (self.F if F is None else F).reshape(-1)
         flat = field.reshape(field.shape[:-2] + (-1,))
         if flat.ndim == 2:
             out = dss.dss_gather_t(flat, self.d2c_map, m.c2d_idx,
-                                   m.c2d_mask, self.F.reshape(-1))
+                                   m.c2d_mask, Ff)
         else:
             out = dss.dss_gather(flat, self.d2c_map, m.c2d_idx, m.c2d_mask,
-                                 self.F.reshape(-1))
+                                 Ff)
         return out.reshape(field.shape)
 
-    def _dss_q(self, rho_dg, q):
+    def _dss_q(self, rho_dg, q, F=None):
         """Mixing-ratio DSS; q: (nt, ncell, np2)."""
         if self.face_dss is not None:
             return self.face_dss.dss_q(rho_dg, q)
         m = self.mesh
+        Ff = (self.F if F is None else F).reshape(-1)
         out = dss.dss_q_gather_t(rho_dg.reshape(-1),
                                  q.reshape(q.shape[0], -1), self.d2c_map,
-                                 m.c2d_idx, m.c2d_mask, self.F.reshape(-1))
+                                 m.c2d_idx, m.c2d_mask, Ff)
         return out.reshape(q.shape)
 
-    def _jacobian_departure(self, dep):
-        """Isoparametric |J| of the departure mesh at every DGLL node
-        (slmmir_remapper_isl.cpp:152-224, calc_isoparametric_jacobian)."""
+    def _jacobian_cells(self, pc):
+        """Isoparametric |J| for cells whose nodal departure positions are
+        pc (..., np, np, 3) in [j, i] layout. The D-contractions are
+        EXPLICITLY left-to-right associated elementwise chains (not
+        einsum/dot_general, whose reduction association is
+        batch-shape-dependent) so the sharded step - which evaluates the
+        same cells in per-shard blocks - reproduces the single-chip bits."""
         m = self.mesh
-        # Runs at the dtype of dep (f32 geometry stays native f32).
-        D = self.deriv_at_nodes.astype(dep.dtype)    # (node, basisfn)
-        # Departure positions of each cell's np x np nodes, [j, i] layout.
-        pc = dep[m.dgll2cgll].reshape(m.ncell, m.np_, m.np_, 3)
+        D = self.deriv_at_nodes.astype(pc.dtype)     # (node, basisfn)
         f = pc                                        # eval at nodes: f = p
-        # fa[c, tj, ti, d] = sum_i D[ti, i] p[c, tj, i, d]; likewise fb along
-        # the j (b) direction. Both einsums produce [c, tj, ti, d] layouts.
-        fa = jnp.einsum('ti,cjid->cjtd', D, pc)
-        fb = jnp.einsum('tj,cjid->ctid', D, pc)
+        # fa[..., tj, ti, d] = sum_i D[ti, i] p[..., tj, i, d]; likewise fb
+        # along the j (b) direction.
+        fa = D[None, :, 0, None] * pc[..., :, 0, None, :]
+        fb = D[:, 0, None, None] * pc[..., 0, :, :][..., None, :, :]
+        for i in range(1, m.np_):
+            fa = fa + D[None, :, i, None] * pc[..., :, i, None, :]
+            fb = fb + D[:, i, None, None] * pc[..., i, :, :][..., None, :, :]
         r2 = sphere.norm2(f)[..., None]
         r = jnp.sqrt(r2)
         ua = (fa - f * (sphere.dot(f, fa)[..., None] / r2)) / r
         ub = (fb - f * (sphere.dot(f, fb)[..., None] / r2)) / r
         jac = sphere.norm(sphere.cross(ua, ub))
-        return jac.reshape(m.ncell, m.np2)
+        return jac.reshape(jac.shape[:-2] + (m.np2,))
+
+    def _jacobian_departure(self, dep):
+        """Isoparametric |J| of the departure mesh at every DGLL node
+        (slmmir_remapper_isl.cpp:152-224, calc_isoparametric_jacobian).
+        Runs at the dtype of dep (f32 geometry stays native f32)."""
+        m = self.mesh
+        # Departure positions of each cell's np x np nodes, [j, i] layout.
+        pc = dep[m.dgll2cgll].reshape(m.ncell, m.np_, m.np_, 3)
+        return self._jacobian_cells(pc)
 
     def footprint_stats(self, ts, tf):
         """ISL communication-footprint statistics for the step ts->tf
@@ -325,17 +347,23 @@ class IslTransport:
         return t
 
     # ------------------------------------------------------------------
-    def _step_impl(self, rho, q, ts, tf, rho_tgt_ext=None):
+    def _step_impl(self, rho, q, ts, tf, rho_tgt_ext=None, mesh_tables=None):
         cfg = self.config
         m = self.mesh
-        F = self.F
+        # See step(): mesh_tables threads (F, jac_node) as runtime operands
+        # so divides by them are not constant-folded into reciprocal
+        # multiplies (bitwise parity with the sharded step).
+        if mesh_tables is not None:
+            F, jac_node = mesh_tables
+        else:
+            F, jac_node = self.F, m.jac_node
         dep, ci, w = self._departure_data(ts, tf)
 
         # --- Density transport.
         if cfg.rho_isl:
             rho_interp = self._interp(rho, ci, w)            # (cnn,)
             Jdep = self._jacobian_departure(dep)             # (ncell, np2)
-            ratio = Jdep.astype(m.jac_node.dtype) / m.jac_node
+            ratio = Jdep.astype(jac_node.dtype) / jac_node
             rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
                 m.ncell, m.np2)
         elif rho_tgt_ext is not None:
@@ -357,8 +385,8 @@ class IslTransport:
                 q.shape[0], m.ncell, m.np2)
 
         if cfg.filter == "none":
-            rho_out = (self._dss(rho_tgt) if cfg.rho_isl else rho_tgt)
-            q_out = self._dss_q(rho_out, q_tgt)
+            rho_out = (self._dss(rho_tgt, F) if cfg.rho_isl else rho_tgt)
+            q_out = self._dss_q(rho_out, q_tgt, F)
             return rho_out, q_out
 
         # --- CDR for rho (isl_cdr_rho, slmmir_remapper_isl.cpp:1240-1289).
@@ -369,7 +397,7 @@ class IslTransport:
             mass_src = bfb_sum(Ff * rho.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
             rho_tgt = rho_tgt + (mass_src - mass_tgt) / bfb_sum(Ff)
-            rho_tgt = self._dss(rho_tgt)
+            rho_tgt = self._dss(rho_tgt, F)
         elif cfg.rho_isl:
             mass_src = bfb_sum(Ff * rho.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
@@ -381,7 +409,7 @@ class IslTransport:
                 rho_mass, R_min, R_mass, R_max, mass_src - mass_tgt)
             delta = redist - R_mass
             rho_tgt = limiter_mod.limit_density(F, rho_tgt, delta)
-            rho_tgt = self._dss(rho_tgt)
+            rho_tgt = self._dss(rho_tgt, F)
 
         # --- CDR for tracers (isl_cdr, :1292-1455), vectorized over nt.
         nt = q.shape[0]
@@ -416,7 +444,7 @@ class IslTransport:
             rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, 0.0,
                               Q_tgt / rho_safe[None])
-            q_out = self._dss_q(rho_tgt, q_new)
+            q_out = self._dss_q(rho_tgt, q_new, F)
             return rho_tgt, q_out
 
         q_min_cell = jnp.min(q, axis=-1)                     # (nt, ncell)
@@ -453,7 +481,7 @@ class IslTransport:
             q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
                               Q_tgt / rho_safe[None])
             q_new = jnp.clip(q_new, q_min_node, q_max_node)
-            q_out = self._dss_q(rho_tgt, q_new)
+            q_out = self._dss_q(rho_tgt, q_new, F)
             return rho_tgt, q_out
 
         # Per-cell records (nt-batched).
@@ -485,8 +513,8 @@ class IslTransport:
             # Mixed `isl` method: DSS density and tracer masses together
             # after the CDR (slmmir.cpp:1335-1339 with dss_rho=true).
             Q = q_new * rho_tgt[None]
-            rho_out = self._dss(rho_tgt)
-            Q_out = self._dss(Q)
+            rho_out = self._dss(rho_tgt, F)
+            Q_out = self._dss(Q, F)
             q_out = Q_out / jnp.where(rho_out == 0, 1.0, rho_out)[None]
             # Clip the Q/rho roundoff to the coincident-node range of the
             # pre-DSS (already bounds-clipped) q - same per-node clip
@@ -501,5 +529,5 @@ class IslTransport:
                              qn_min[..., self.d2c_map],
                              qn_max[..., self.d2c_map]).reshape(q_out.shape)
             return rho_out, q_out
-        q_out = self._dss_q(rho_tgt, q_new)
+        q_out = self._dss_q(rho_tgt, q_new, F)
         return rho_tgt, q_out

@@ -45,20 +45,13 @@ def record(F, rho, Q, q_min, q_max):
     return rho_mass, Q_min, Q_mass, Q_max
 
 
-@partial(jax.jit, static_argnames=("axis_name",))
-def glbl_caas(Q_min, Q_mass, Q_max, extra_mass, axis_name=None):
-    """Closed-form global CAAS (slmm_spf.cpp:733-771). All per-cell arrays
-    (..., ncell); extra_mass (...,). Returns redistributed mass (..., ncell).
-    """
+def glbl_caas_gsum(Q_min, Q_mass, Q_max, extra_mass, gsum):
+    """Closed-form global CAAS (slmm_spf.cpp:733-771) with a caller-supplied
+    global sum `gsum` (bfb_sum on one chip; the distributed BFB tree
+    allreduce inside shard_map - cdr/bfb.py - which is bitwise equal). All
+    per-cell arrays (..., ncell-block); extra_mass (...,)."""
     delta = jnp.where(Q_mass < Q_min, Q_min - Q_mass,
                       jnp.where(Q_mass > Q_max, Q_max - Q_mass, 0.0))
-
-    def gsum(x):
-        s = bfb_sum(x, axis=-1)
-        if axis_name is not None:
-            s = jax.lax.psum(s, axis_name)
-        return s
-
     m = extra_mass - gsum(delta)
     v_up = jnp.where(Q_mass >= Q_max, 0.0, Q_max - (Q_mass + delta))
     v_dn = jnp.where(Q_mass <= Q_min, 0.0, (Q_mass + delta) - Q_min)
@@ -66,6 +59,19 @@ def glbl_caas(Q_min, Q_mass, Q_max, extra_mass, axis_name=None):
     vsum = gsum(v)
     fac = jnp.where(vsum != 0, m / jnp.where(vsum != 0, vsum, 1.0), 0.0)
     return Q_mass + delta + fac[..., None] * v
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def glbl_caas(Q_min, Q_mass, Q_max, extra_mass, axis_name=None):
+    """Single-address-space global CAAS (psum-completed when axis-mapped)."""
+
+    def gsum(x):
+        s = bfb_sum(x, axis=-1)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        return s
+
+    return glbl_caas_gsum(Q_min, Q_mass, Q_max, extra_mass, gsum)
 
 
 def run_mn2(Q_min, Q_mass, Q_max, extra_mass):

@@ -42,6 +42,11 @@ def test_bfb_sum_decomposition_invariant():
 
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_step_matches_single_device(ndev):
+    # Legacy GSPMD path (parallel/sharding.py): XLA partitions the
+    # single-chip program. Its FaceDss roll merges + const-folded
+    # reciprocal multiplies reorder vs the runtime-table step, so this
+    # path is pinned to 1e-13; the designed shard_map path below is the
+    # bitwise one.
     assert len(jax.devices()) >= ndev
     model, rho, q = _model()
     dt = 86400.0
@@ -54,10 +59,96 @@ def test_sharded_step_matches_single_device(ndev):
 
     dr = float(jnp.max(jnp.abs(out_rho - ref_rho)))
     dq = float(jnp.max(jnp.abs(out_q - ref_q)))
-    # GSPMD may re-partition elementwise work but the fixed-tree reductions
-    # pin the global sums; demand near-bitwise agreement.
     assert dr < 1e-13, dr
     assert dq < 1e-13, dq
+
+
+@pytest.mark.parametrize("ndev,filt", [(2, "caas"), (8, "caas"), (2, "qlt"),
+                                       (8, "qlt")])
+def test_designed_sharded_step_bitwise(ndev, filt):
+    """The DESIGNED multi-chip step (parallel/sharded.py: shard_map + halo
+    exchange + BFB tree reductions + sharded QLT level schedule) is BITWISE
+    equal to the single-device step. The single-chip model uses the
+    gather-DSS formulation (face_dss=None); the FaceDss fast path merges
+    the DSS in a different fixed order and is compared at 1e-13 above."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    assert len(jax.devices()) >= ndev
+    ne = 8
+    mesh = cubed_sphere.build(ne, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=4, filter=filt, limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "slottedcylinders",
+                                   "cosinebells"))
+    dt = 86400.0 * 12 / 120
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+
+    sh = ShardedIsl(model, ndev)
+    # The CFL halo assumption holds for this step (slmmir_remapper.cpp:7).
+    assert sh.coverage_ok(0.0, dt)
+    # O(perimeter) exchange, not O(area): the boundary blocks are a strict
+    # subset of the cells.
+    assert sh.maps.comm_fraction <= 1.0
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
+def test_designed_sharded_step_comm_fraction():
+    """The halo exchange is O(perimeter), not O(area): at fixed shard
+    count the exchanged fraction shrinks ~1/ne as the mesh refines (the
+    GSPMD fallback all-gathers everything, fraction 1.0 at every size)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.halo import HaloMaps
+
+    f30 = HaloMaps(cubed_sphere.build(30, 4), 4, depth=2).comm_fraction
+    f60 = HaloMaps(cubed_sphere.build(60, 4), 4, depth=2).comm_fraction
+    assert f30 < 0.35, f30
+    # Perimeter scaling: doubling ne should roughly halve the fraction.
+    assert f60 < 0.62 * f30, (f30, f60)
+
+
+@pytest.mark.parametrize("ncells,ndev", [(96, 2), (96, 8), (108, 4),
+                                         (150, 6)])
+def test_sharded_qlt_decomposition_invariant(ncells, ndev):
+    """The sharded QLT level schedule (cdr/qlt_sharded.py) is bitwise equal
+    to the single-chip QLT for every contiguous equal-block decomposition -
+    the reference's decomposition-invariance stress
+    (cedr_tree.hpp:128-138, cedr_bfb_tree_allreduce.hpp:11-14). Sizes
+    include non-powers of two to exercise pass-through level schedules."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from compose_tpu.cdr import qlt as qlt_mod
+    from compose_tpu.cdr.qlt_sharded import ShardedQLT
+
+    nt = 4
+    rng = np.random.default_rng(ncells + ndev)
+    rhom = jnp.asarray(rng.uniform(0.5, 1.0, ncells))
+    qmin = rng.uniform(0, .3, (nt, ncells))
+    qmax = qmin + rng.uniform(.2, .5, (nt, ncells))
+    r = np.asarray(rhom)
+    Qm = jnp.asarray((qmin + (qmax - qmin) * rng.uniform(0, 1, (nt, ncells)))
+                     * r + 0.3 * rng.standard_normal((nt, ncells)) * r)
+    Qm_min = jnp.asarray(qmin * r)
+    Qm_max = jnp.asarray(qmax * r)
+    extra = jnp.asarray(0.01 * rng.standard_normal(nt))
+    ref = qlt_mod.QLT(ncells, qlt_mod.SHAPEPRESERVE).run(
+        rhom, Qm, Qm_min, Qm_max, root_extra=extra)
+
+    sq = ShardedQLT(ncells, ndev)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("cells",))
+    f = jax.jit(jax.shard_map(
+        lambda rr, q, qn, qx, e: sq.run(rr, q, qn, qx, root_extra=e),
+        mesh=mesh,
+        in_specs=(P("cells"), P(None, "cells"), P(None, "cells"),
+                  P(None, "cells"), P()),
+        out_specs=P(None, "cells"), check_vma=False))
+    out = f(rhom, Qm, Qm_min, Qm_max, extra)
+    assert int((np.asarray(out) != np.asarray(ref)).sum()) == 0
 
 
 def test_halo_exchange_bitwise():
