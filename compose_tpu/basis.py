@@ -498,6 +498,112 @@ class IsletFreeNodal(GLL):
         return _regionwise_eval(self.x, _FREE_NODAL_SUBSETS[self.np], x)
 
 
+def compute_weights(bas):
+    """Basis::compute_weights (slmm_basis.cpp:61-92): integrate each basis
+    function numerically per nodal region with 10-node GLL quadrature
+    (exact to degree 17), then symmetrize. Returns (np,) weights."""
+    xn = np.asarray(bas.x)
+    n = xn.shape[0]
+    qx, qw = (np.asarray(a) for a in gll_nodes_weights(10))
+    integral = np.zeros(n)
+    for ireg in range(n - 1):
+        alpha = 0.5 * (qx + 1.0)
+        xs = (1 - alpha) * xn[ireg] + alpha * xn[ireg + 1]
+        v = np.asarray(bas.eval(jnp.asarray(xs)))      # (10, np)
+        integral += 0.5 * (xn[ireg + 1] - xn[ireg]) * (qw[:, None] * v).sum(0)
+    for i in range(n // 2):
+        integral[i] = integral[n - i - 1] = \
+            0.5 * (integral[i] + integral[n - i - 1])
+    return integral
+
+
+class UniformReduced:
+    """slmm::UniformNodeReduced (slmm_basis_reduced.{hpp,cpp}): uniform
+    nodes, piecewise-LINEAR region-wise evaluation (every region's subset
+    is its two bracketing nodes; max_degree 1), weights generated the
+    reference's way (compute_weights; the hpp tables are exactly these)."""
+
+    name = "UniformReduced"
+
+    def __init__(self, np_: int):
+        if np_ > 13 and np_ != 16:
+            raise NotImplementedError(f"UniformReduced np={np_}")
+        self.np = np_
+        self.x = jnp.asarray(np.linspace(-1.0, 1.0, np_))
+        self.w = jnp.asarray(compute_weights(self))
+
+    def eval(self, x):
+        subsets = [[i, i + 1] for i in range(self.np // 2)]
+        return _regionwise_eval(self.x, subsets, x)
+
+
+class ConstantCell:
+    """Basis::Type::constant_cell (slmm_basis.hpp:17): declared in the
+    reference's enum but never implemented there (Basis::create has no
+    case for it); provided here as the natural degree-0 member - uniform
+    nodes, one-hot evaluation by nearest subinterval."""
+
+    name = "ConstantCell"
+
+    def __init__(self, np_: int):
+        self.np = np_
+        self.x = jnp.asarray(np.linspace(-1.0, 1.0, np_))
+        self.w = jnp.asarray(compute_weights(self))
+
+    def eval(self, x):
+        xn = np.linspace(-1.0, 1.0, self.np)
+        mid = jnp.asarray(0.5 * (xn[1:] + xn[:-1]))
+        r = jnp.searchsorted(mid, x)
+        return (r[..., None] == jnp.arange(self.np)).astype(
+            jnp.result_type(float))
+
+
+class GllNodalFromString(GLL):
+    """islet::GllNodalFromString (slmm_islet_string.cpp:228-258): a
+    region-wise nodal-subset basis over the GLL nodes defined by a string
+    "np 1 | 0 subnp: n0 n1 .. | 1 subnp: ..." (one group per left-half
+    region; Nodes::init, :' slmm_islet_string.cpp:231-258'). Weights are
+    generated with compute_weights, as in the reference."""
+
+    def __init__(self, np_: int, subsets):
+        super().__init__(np_)
+        self.name = "GllNodalFromString"
+        self._subsets = subsets
+        self.w = jnp.asarray(compute_weights(self))
+
+    def eval(self, x):
+        return _regionwise_eval(self.x, self._subsets, x)
+
+
+def parse_basis_string(s: str):
+    """Parse the reference's basis-string format. Returns (np, subsets)."""
+    head, *regions = s.split("|")
+    vals = head.split()
+    np_, include_bdy = int(vals[0]), int(vals[1])
+    assert include_bdy == 1, "include_bdy=0 strings are not supported"
+    nh = np_ // 2
+    if len(regions) != nh:
+        raise ValueError(f"basis string needs {nh} regions, got "
+                         f"{len(regions)}")
+    subsets = []
+    for ni, reg in enumerate(regions):
+        pre, nodes_s = reg.split(":")
+        ni_chk, subnp = (int(v) for v in pre.split())
+        if ni_chk != ni:
+            raise ValueError(f"region {ni} labeled {ni_chk}")
+        nodes = [int(v) for v in nodes_s.split()]
+        if len(nodes) != subnp:
+            raise ValueError(f"region {ni}: expected {subnp} nodes")
+        # ok_to_eval checks (slmm_islet_string.cpp:260-273).
+        if subnp < 2 or any(b <= a for a, b in zip(nodes, nodes[1:])):
+            raise ValueError(f"region {ni}: nodes must strictly increase")
+        if sum(1 for v in nodes if v in (ni, ni + 1)) != 2:
+            raise ValueError(f"region {ni}: must contain nodes "
+                             f"{ni} and {ni + 1}")
+        subsets.append(nodes)
+    return np_, subsets
+
+
 _BASIS_REGISTRY = {
     "gll": GLL,
     "Gll": GLL,
@@ -509,11 +615,25 @@ _BASIS_REGISTRY = {
     "UniformOffsetNodal": IsletUniformOffsetNodal,
     "freenodal": IsletFreeNodal,
     "FreeNodal": IsletFreeNodal,
+    "uniform_reduced": UniformReduced,
+    "UniformReduced": UniformReduced,
+    "uniformreduced": UniformReduced,
+    "constant_cell": ConstantCell,
+    "ConstantCell": ConstantCell,
+    "constantcell": ConstantCell,
 }
 
 
 def create(name: str, np_: int):
-    """Basis factory (slmm_basis.cpp: Basis::create)."""
+    """Basis factory (slmm_basis.cpp: Basis::create /
+    create_basis_from_string): known names dispatch to the registry;
+    anything containing '|' is parsed as a string-defined basis
+    (slmmir.cpp:1541)."""
+    if "|" in name:
+        np_s, subsets = parse_basis_string(name)
+        if np_s != np_:
+            raise ValueError(f"basis string np={np_s} but mesh np={np_}")
+        return GllNodalFromString(np_, subsets)
     key = name if name in _BASIS_REGISTRY else name.lower()
     if key not in _BASIS_REGISTRY:
         raise ValueError(f"unknown basis '{name}'")

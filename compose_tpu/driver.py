@@ -152,6 +152,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         rho_remapper = IrTransport(mesh, wind, ir_cfg)
         cfg = IslConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
                         limiter=limiter, rho_isl=False, nsub=nsub,
+                        dmc="f" if dmc == "none" else dmc,
                         positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
                         timeint=timeint, interp_dtype=interp_dtype)
@@ -163,6 +164,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         cfg = IslConfig(ne=ne, np_=np_, basis=use_basis, filter=filter_,
                         limiter=limiter,
                         rho_isl=(method in ("pisl", "pislu")), nsub=nsub,
+                        dmc="f" if dmc == "none" else dmc,
                         positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
                         timeint=timeint, interp_dtype=interp_dtype)
@@ -185,7 +187,9 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
 
     max_step_mass_err = 0.0
     max_step_bounds_err = 0.0
-    mass_prev = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
+    F_check0 = F_sph if (dmc == "es" and method not in ("ir", "cdg")
+                         and prefine not in (1, 5)) else F_gll
+    mass_prev = float(bfb_sum(F_check0 * (q[0] * rho).reshape(-1)))
     q_min0 = float(jnp.min(q[0]))
     q_max0 = float(jnp.max(q[0]))
 
@@ -316,8 +320,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
             u = u - Fg * (jnp.sum(Fg * u) / jnp.sum(Fg * Fg))
             fac = perturb_rho * jnp.min(rho) / jnp.max(jnp.abs(u))
             rho = rho + fac * u
-        # Observer-style per-step checks on tracer 0 (slmmir.cpp:921-958).
-        mass = float(bfb_sum(F_gll * (q[0] * rho).reshape(-1)))
+        # Observer-style per-step checks on tracer 0 (slmmir.cpp:921-958),
+        # in the run's conserved measure (sphere for -dmc es).
+        F_check = F_sph if (dmc == "es" and method not in ("ir", "cdg")
+                            and prefine not in (1, 5)) else F_gll
+        mass = float(bfb_sum(F_check * (q[0] * rho).reshape(-1)))
         max_step_mass_err = max(max_step_mass_err,
                                 abs(mass - mass_prev) / max(1.0, abs(mass)))
         mass_prev = mass

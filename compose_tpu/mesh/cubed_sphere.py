@@ -190,7 +190,16 @@ def _build(ne: int, np_: int = 4, basis_name: str = "GllNodal",
     ncell = 6 * ne * ne
     np2 = np_ * np_
     bas = basis_mod.create(basis_name, np_)
-    gx, gw = basis_mod.gll_nodes_weights(np_)  # geometry always uses GLL grid
+    gx, gw = basis_mod.gll_nodes_weights(np_)
+    # Node grid: the islet GLL-noded bases share the GLL nodes and the
+    # reference passes GLL() for the mass weights even then; bases with
+    # NON-GLL nodes (uniform_reduced, constant_cell, UniformOffsetNodal)
+    # place the mesh nodes at the basis's own nodes with its own weights
+    # (Basis::get_x/get_w via make_cgll_from_geo, slmm_mesh.cpp:366).
+    bx = np.asarray(bas.x)
+    if bx.shape == np.asarray(gx).shape and \
+            not np.allclose(bx, np.asarray(gx), atol=1e-13):
+        gx, gw = bx, np.asarray(bas.w)
 
     # --- Cell corners, all faces at once.
     i = np.arange(ne)

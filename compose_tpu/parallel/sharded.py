@@ -266,13 +266,24 @@ class ShardedIsl:
         ext = self._halo_ext(st, my_send)                 # (nt+1, B+H, np2)
         rho_ext, q_ext = ext[0], ext[1:]
 
-        # --- Density transport.
+        # --- Density transport (mirrors _step_impl incl. the f32 fast
+        # path; cast-then-gather here equals the single chip's
+        # cast-then-gather since the halo ships the original f64 values).
         if cfg.rho_isl:
-            rho_src = rho_ext[loc]                        # (B*np2, np2)
-            rho_dep = jnp.einsum('cx,cx->c', rho_src, w)
-            Jdep = self._jacobian_blk(dep.reshape(B, np2, 3))
-            ratio = Jdep.astype(jac_node.dtype) / jac_node
-            rho_tgt = ratio * rho_dep.reshape(B, np2)
+            if cfg.interp_dtype == "f32":
+                f32 = jnp.float32
+                rho_src = rho_ext.astype(f32)[loc]
+                rho_dep = jnp.einsum('cx,cx->c', rho_src, w.astype(f32))
+                Jdep = self._jacobian_blk(dep.reshape(B, np2, 3))
+                ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
+                rho_tgt = (ratio32 * rho_dep.reshape(B, np2)).astype(
+                    jnp.float64)
+            else:
+                rho_src = rho_ext[loc]                    # (B*np2, np2)
+                rho_dep = jnp.einsum('cx,cx->c', rho_src, w)
+                Jdep = self._jacobian_blk(dep.reshape(B, np2, 3))
+                ratio = Jdep.astype(jac_node.dtype) / jac_node
+                rho_tgt = ratio * rho_dep.reshape(B, np2)
         else:
             rho_tgt = rho
 
@@ -327,9 +338,9 @@ class ShardedIsl:
             Q_tgt = jax.vmap(
                 lambda Qi, di: limiter_mod.limit_density(F, Qi, di))(
                     Q_tgt, delta)
-            rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, 0.0,
-                              Q_tgt / rho_safe[None])
+                              Q_tgt * rho_inv[None])
             q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4,
                                     my_send)
             return rho_tgt, q_out
@@ -360,9 +371,10 @@ class ShardedIsl:
                     F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter))
             Q_tgt = lim(Q_tgt, q_min_node, q_max_node, delta)
 
-        rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+        # One reciprocal per node instead of nt emulated f64 divides.
+        rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
         q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
-                          Q_tgt / rho_safe[None])
+                          Q_tgt * rho_inv[None])
         q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4,

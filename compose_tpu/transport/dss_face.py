@@ -227,11 +227,17 @@ class FaceDss:
     # -- merge passes (XLA; any dtype/backend) ----------------------------
     def _merge_add(self, a):
         """Sum-merge the intra-face coincident slots of (rows, ndgll) `a`
-        (cube-edge nodes are finished by the fix pass)."""
-        mxl, mxr, myd, myu = (m.astype(a.dtype) for m in self._fmasks32)
+        (cube-edge nodes are finished by the fix pass). Masked neighbors
+        enter via `where` selects, not mask multiplies - a f64 multiply is
+        emulated on TPU while a select is cheap, and 1.0*x / 0.0*x give the
+        identical result for finite x."""
+        bxl, bxr, byd, byu = self._bmasks
         dx, dy = self.dx, self.dy
-        xm = a + mxl * jnp.roll(a, -dx, -1) + mxr * jnp.roll(a, dx, -1)
-        return xm + myd * jnp.roll(xm, -dy, -1) + myu * jnp.roll(xm, dy, -1)
+        z = jnp.zeros((), a.dtype)
+        xm = (a + jnp.where(bxl, jnp.roll(a, -dx, -1), z)
+              + jnp.where(bxr, jnp.roll(a, dx, -1), z))
+        return (xm + jnp.where(byd, jnp.roll(xm, -dy, -1), z)
+                + jnp.where(byu, jnp.roll(xm, dy, -1), z))
 
     def _merge_op(self, a, op):
         """min/max-merge of (rows, ndgll) `a`."""
@@ -366,15 +372,21 @@ class FaceDss:
         if self._use_pallas(qf.dtype):
             cg = self._pallas_q(wf, qf)
         else:
-            addg = jnp.concatenate([wf * qf, Ff[None] * qf, wf], axis=0)
-            addm = self._merge_add(addg)
-            num, num0, den = addm[:nt], addm[nt:2 * nt], addm[2 * nt]
+            # Two-stage weights: merge w once to find zero-mass nodes, then
+            # blend per-slot (coincident slots share their node's den, so
+            # den>0 nodes get EXACTLY the old w-weighted average while
+            # den==0 nodes get the dgbfi fallback) - this removes the nt
+            # extra `num0` merge rows the old formulation carried for the
+            # fallback. One reciprocal replaces the nt per-tracer divides
+            # (f64 division is emulated on TPU and dominates otherwise).
+            den = self._merge_add(wf)
+            w2 = jnp.where(den > 0, wf, Ff[None])
+            addm = self._merge_add(jnp.concatenate([w2 * qf, w2], axis=0))
+            num, den2 = addm[:nt], addm[nt]
             ming = jnp.concatenate([qf, -qf], axis=0)
             minm = self._merge_op(ming, jnp.minimum)
             mn, mx = minm[:nt], -minm[nt:]
-            ok = den > 0
-            cg = jnp.where(ok, num / jnp.where(ok, den, 1.0),
-                           num0 / self.den0[None].astype(qf.dtype))
+            cg = num * (1.0 / den2)[None]
             cg = jnp.clip(cg, mn, mx)
         out = self._fix_q(cg, qf, wf[0], Ff)
         return out.reshape(q.shape)

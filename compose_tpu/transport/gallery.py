@@ -47,41 +47,68 @@ class WindField:
         raise NotImplementedError
 
 
+def _trig_frame(t, p, T):
+    """Per-point trig of the deformational flows, computed ALGEBRAICALLY
+    from cartesian coordinates: sin/cos of lat come from (z, sqrt(x^2+y^2)),
+    sin/cos of the shifted longitude lam' = lon - 2*pi*t/T from the angle
+    subtraction identity with the (scalar) shift trig. This removes every
+    per-point transcendental (atan2/asin/sin/cos) from the trajectory
+    integration hot loop - the velocity formulas are algebraic in these."""
+    X, Y, Z = p[..., 0], p[..., 1], p[..., 2]
+    r = jnp.sqrt(X * X + Y * Y + Z * Z)
+    d = jnp.sqrt(X * X + Y * Y)
+    sinth = Z / r
+    costh = d / r
+    # Pole guard consistent with xyz2ll's atan2(0, 0) = 0 (lon = 0 frame).
+    polar = d < jnp.finfo(d.dtype).tiny
+    d_s = jnp.where(polar, 1.0, d)
+    coslam = jnp.where(polar, 1.0, X / d_s)
+    sinlam = jnp.where(polar, 0.0, Y / d_s)
+    c = 2 * jnp.pi * t / T
+    cc, sc = jnp.cos(c), jnp.sin(c)         # scalars
+    sinlp = sinlam * cc - coslam * sc       # sin(lon - c)
+    coslp = coslam * cc + sinlam * sc       # cos(lon - c)
+    cost = jnp.cos(jnp.pi * t / T)          # scalar
+    return sinth, costh, sinlp, coslp, cost
+
+
 class NonDivergentWindField(WindField):
     """Lauritzen et al. nondivergent deformational flow
-    (slmm_gallery.cpp:332-359)."""
+    (slmm_gallery.cpp:332-359):
+        u = 10 R/T sin^2(lam') sin(2 th) cos(pi t/T) + 2 pi R/T cos(th)
+        v = 10 R/T sin(2 lam') cos(th) cos(pi t/T)
+    evaluated via sin(2x) = 2 sin x cos x etc. (see _trig_frame)."""
 
     T = constants.day2sec(12)
 
     def velocity(self, t, p):
-        lat, lon = sphere.xyz2ll(p)
-        R = constants.earth_radius_m
         T = self.T
-        lam_p = lon - 2 * jnp.pi * t / T
-        costh = jnp.cos(lat)
-        cost = jnp.cos(jnp.pi * t / T)
-        v = 10 * R / T * jnp.sin(2 * lam_p) * costh * cost
-        u = R / T * (10 * jnp.sin(lam_p) ** 2 * jnp.sin(2 * lat) * cost
+        sinth, costh, sinlp, coslp, cost = _trig_frame(t, p, T)
+        sin2lat = 2 * sinth * costh
+        v = 10 / T * (2 * sinlp * coslp) * costh * cost
+        u = 1 / T * (10 * sinlp * sinlp * sin2lat * cost
                      + 2 * jnp.pi * costh)
-        return _uv2xyz(p, u / R, v / R)
+        return _uv2xyz(p, u, v)
 
 
 class DivergentWindField(WindField):
-    """Divergent deformational flow (slmm_gallery.cpp:361-388)."""
+    """Divergent deformational flow (slmm_gallery.cpp:361-388):
+        u = -5 R/T sin^2(lam'/2) sin(2 th) cos^2(th) cos(pi t/T)
+            + 2 pi R/T cos(th)
+        v = 2.5 R/T sin(lam') cos^3(th) cos(pi t/T)
+    with sin^2(lam'/2) = (1 - cos lam')/2 (see _trig_frame)."""
 
     T = constants.day2sec(12)
 
     def velocity(self, t, p):
-        lat, lon = sphere.xyz2ll(p)
-        R = constants.earth_radius_m
         T = self.T
-        lam_p = lon - 2 * jnp.pi * t / T
-        costh = jnp.cos(lat)
-        cost = jnp.cos(jnp.pi * t / T)
-        v = 2.5 * R / T * jnp.sin(lam_p) * costh ** 3 * cost
-        u = R / T * (-5 * jnp.sin(0.5 * lam_p) ** 2 * jnp.sin(2 * lat)
-                     * costh ** 2 * cost + 2 * jnp.pi * costh)
-        return _uv2xyz(p, u / R, v / R)
+        sinth, costh, sinlp, coslp, cost = _trig_frame(t, p, T)
+        costh2 = costh * costh
+        sin2lat = 2 * sinth * costh
+        v = 2.5 / T * sinlp * costh2 * costh * cost
+        u = 1 / T * (-5 * (0.5 * (1 - coslp)) * sin2lat
+                     * costh2 * cost + 2 * jnp.pi * costh)
+        return _uv2xyz(p, u, v)
 
 
 class NonDivergentWindFieldHack(WindField):

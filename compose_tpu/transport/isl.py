@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .. import basis as basis_mod
 from ..mesh import cubed_sphere
 from ..ops import local_qp, sphere, sqr
-from ..ops.reduce import bfb_sum
+from ..ops.reduce import bfb_sum, bfb_sum_cells
 from . import dss, limiter as limiter_mod, spf, timeint
 from .dss_face import FaceDss
 
@@ -45,6 +45,10 @@ class IslConfig:
     limiter: str = "mn2"         # cell-local: mn2 | caas | caags | none
     rho_isl: bool = True         # pisl: transport rho by ISL too
     nsub: int = 8                # trajectory substeps per transport step
+    # Mass definition for the CDR (-dmc, slmmir.hpp:13-77): 'f'/'eh' use
+    # the Homme (GLL) weights, 'es' the spherical basis-function
+    # integrals - conservation then holds in that measure.
+    dmc: str = "f"
     positive_only: bool = False  # -mono *-pve: nonnegativity only
     fitext: bool = False         # -fitext: quadratic sub-grid bound relaxation
     # Trajectory integration: 'exact' integrates every fine-grid node;
@@ -89,7 +93,10 @@ class IslTransport:
         # (the reference always uses plain GLL derivatives here,
         # slmmir_remapper_isl.cpp:178-183).
         self.deriv_at_nodes = self.gll.eval_deriv(self.gll.x)  # (node, bf)
-        self.F = mesh.dgbfi_gll  # -dmc f: Homme mass definition
+        # Mass definition (dgbfi_mass_, slmmir_remap_data.cpp): Homme (GLL)
+        # weights for -dmc f/eh/geh, spherical integrals for -dmc es.
+        self.F = (mesh.dgbfi_sphere if config.dmc == "es"
+                  else mesh.dgbfi_gll)
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
         # Face-grid DSS (O(perimeter) slice arithmetic; transport/dss_face)
         # when the mesh has the standard numbering, else the gather path.
@@ -215,7 +222,14 @@ class IslTransport:
         return jnp.einsum('...cx,cx->...c', src, w)
 
     def _dss(self, field, F=None):
-        """DSS of a (ncell, np2) or (nt, ncell, np2) field."""
+        """DSS of a (ncell, np2) or (nt, ncell, np2) field.
+
+        Route: f32 fields take the FaceDss Pallas/roll fast path; f64
+        fields take the gather formulation - measured FASTER than the f64
+        roll path on TPU (6.1 vs 8.8 ms at ne30 x 40 tracers; f64 is
+        emulated, so fewer arithmetic passes win), and it is the exact
+        arithmetic the sharded step (parallel/sharded.py) reproduces
+        bitwise."""
         if self.face_dss is not None:
             return self.face_dss.dss(field)
         m = self.mesh
@@ -230,7 +244,7 @@ class IslTransport:
         return out.reshape(field.shape)
 
     def _dss_q(self, rho_dg, q, F=None):
-        """Mixing-ratio DSS; q: (nt, ncell, np2)."""
+        """Mixing-ratio DSS; q: (nt, ncell, np2). See _dss for routing."""
         if self.face_dss is not None:
             return self.face_dss.dss_q(rho_dg, q)
         m = self.mesh
@@ -249,20 +263,42 @@ class IslTransport:
         same cells in per-shard blocks - reproduces the single-chip bits."""
         m = self.mesh
         D = self.deriv_at_nodes.astype(pc.dtype)     # (node, basisfn)
-        f = pc                                        # eval at nodes: f = p
-        # fa[..., tj, ti, d] = sum_i D[ti, i] p[..., tj, i, d]; likewise fb
-        # along the j (b) direction.
-        fa = D[None, :, 0, None] * pc[..., :, 0, None, :]
-        fb = D[:, 0, None, None] * pc[..., 0, :, :][..., None, :, :]
+        # Cells-last (lanes-last) layout: every elementwise op vectorizes
+        # over the cell axis instead of the 3-wide coordinate axis (a
+        # (cells, ..., 3) layout puts 3 elements per 128-lane vector).
+        # The arithmetic chain (explicit left-to-right) is unchanged, so
+        # the values are bitwise identical to the cells-first form.
+        lead = pc.shape[:-3]
+        pcT = jnp.moveaxis(pc.reshape((-1,) + pc.shape[-3:]), 0, -1)
+        # pcT: (j, i, d, cells).
+        f = pcT
+        # fa[j, t, d, c] = sum_i D[t, i] pcT[j, i, d, c]; fb likewise
+        # along j.
+        fa = D[None, :, 0, None, None] * pcT[:, 0, None, :, :]
+        fb = D[:, 0, None, None, None] * pcT[0][None, :, :, :]
         for i in range(1, m.np_):
-            fa = fa + D[None, :, i, None] * pc[..., :, i, None, :]
-            fb = fb + D[:, i, None, None] * pc[..., i, :, :][..., None, :, :]
-        r2 = sphere.norm2(f)[..., None]
+            fa = fa + D[None, :, i, None, None] * pcT[:, i, None, :, :]
+            fb = fb + D[:, i, None, None, None] * pcT[i][None, :, :, :]
+
+        def dot_d(a, b):
+            return (a[..., 0, :] * b[..., 0, :]
+                    + a[..., 1, :] * b[..., 1, :]) \
+                + a[..., 2, :] * b[..., 2, :]
+
+        def cross_d(a, b):
+            a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+            b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+            return jnp.stack([a1 * b2 - a2 * b1, a2 * b0 - a0 * b2,
+                              a0 * b1 - a1 * b0], axis=-2)
+
+        r2 = dot_d(f, f)[..., None, :]               # (j, i, 1, c)
         r = jnp.sqrt(r2)
-        ua = (fa - f * (sphere.dot(f, fa)[..., None] / r2)) / r
-        ub = (fb - f * (sphere.dot(f, fb)[..., None] / r2)) / r
-        jac = sphere.norm(sphere.cross(ua, ub))
-        return jac.reshape(jac.shape[:-2] + (m.np2,))
+        ua = (fa - f * (dot_d(f, fa)[..., None, :] / r2)) / r
+        ub = (fb - f * (dot_d(f, fb)[..., None, :] / r2)) / r
+        cr = cross_d(ua, ub)
+        jac = jnp.sqrt(dot_d(cr, cr))                # (j, i, cells)
+        jac = jnp.moveaxis(jac, -1, 0)               # (cells, j, i)
+        return jac.reshape(lead + (m.np2,))
 
     def _jacobian_departure(self, dep):
         """Isoparametric |J| of the departure mesh at every DGLL node
@@ -330,6 +366,14 @@ class IslTransport:
             jax.jit(interp_scatter), q, ci, w)
         if self.config.rho_isl:
             def rho_phase(rho, dep, ci, w):
+                if self.config.interp_dtype == "f32":
+                    f32_ = jnp.float32
+                    ri = self._interp(rho.astype(f32_), ci, w.astype(f32_))
+                    Jdep = self._jacobian_departure(dep)
+                    ratio32 = Jdep.astype(f32_) \
+                        / self.mesh.jac_node.astype(f32_)
+                    return (ratio32 * ri[self.d2c_map].reshape(
+                        self.mesh.ncell, self.mesh.np2)).astype(jnp.float64)
                 ri = self._interp(rho, ci, w)
                 Jdep = self._jacobian_departure(dep)
                 ratio = Jdep.astype(self.mesh.jac_node.dtype) \
@@ -361,11 +405,24 @@ class IslTransport:
 
         # --- Density transport.
         if cfg.rho_isl:
-            rho_interp = self._interp(rho, ci, w)            # (cnn,)
-            Jdep = self._jacobian_departure(dep)             # (ncell, np2)
-            ratio = Jdep.astype(jac_node.dtype) / jac_node
-            rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
-                m.ncell, m.np2)
+            if cfg.interp_dtype == "f32":
+                # f32 rho interp fast path: the CDR restores rho mass
+                # against the f64 pre-step mass and the [0,2] bounds in
+                # f64, so the invariants are unchanged (same argument as
+                # the tracer interp; f64 gathers are several times slower
+                # on TPU).
+                f32 = jnp.float32
+                ri = self._interp(rho.astype(f32), ci, w.astype(f32))
+                Jdep = self._jacobian_departure(dep)
+                ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
+                rho_tgt = (ratio32 * ri[self.d2c_map].reshape(
+                    m.ncell, m.np2)).astype(jnp.float64)
+            else:
+                rho_interp = self._interp(rho, ci, w)        # (cnn,)
+                Jdep = self._jacobian_departure(dep)         # (ncell, np2)
+                ratio = Jdep.astype(jac_node.dtype) / jac_node
+                rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
+                    m.ncell, m.np2)
         elif rho_tgt_ext is not None:
             rho_tgt = rho_tgt_ext
         else:
@@ -394,13 +451,13 @@ class IslTransport:
         if cfg.rho_isl and cfg.filter == "caas-node":
             # Global-only nodal filter: uniform mass restoration
             # (glbl_only_pve, slmmir_remapper_isl.cpp:366-387).
-            mass_src = bfb_sum(Ff * rho.reshape(-1))
-            mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
+            mm = bfb_sum_cells(jnp.stack([F * rho, F * rho_tgt]))
+            mass_src, mass_tgt = mm[0], mm[1]
             rho_tgt = rho_tgt + (mass_src - mass_tgt) / bfb_sum(Ff)
             rho_tgt = self._dss(rho_tgt, F)
         elif cfg.rho_isl:
-            mass_src = bfb_sum(Ff * rho.reshape(-1))
-            mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
+            mm = bfb_sum_cells(jnp.stack([F * rho, F * rho_tgt]))
+            mass_src, mass_tgt = mm[0], mm[1]
             # Bounds [0, 2] on cell-mean density (reference record(ti,0,2,..)).
             rho_mass, R_min, R_mass, R_max = spf.record(
                 F, rho_tgt, rho_tgt,
@@ -414,9 +471,9 @@ class IslTransport:
         # --- CDR for tracers (isl_cdr, :1292-1455), vectorized over nt.
         nt = q.shape[0]
         Q_tgt = q_tgt * rho_tgt[None]
-        Q_mass_src = bfb_sum(
-            (Ff[None] * q.reshape(nt, -1) * rho.reshape(-1)[None]), axis=-1)
-        Q_mass_tgt = bfb_sum(Ff[None] * Q_tgt.reshape(nt, -1), axis=-1)
+        QQ = bfb_sum_cells(jnp.stack([F[None] * q * rho[None],
+                                      F[None] * Q_tgt]))
+        Q_mass_src, Q_mass_tgt = QQ[0], QQ[1]
 
         # Source-cell q bounds -> per-target-node bounds via the departure
         # cell of each node. Positive-only filters (-mono qlt-pve;
@@ -441,9 +498,9 @@ class IslTransport:
                     Q_tgt, delta)
             # Q -> q without the bounds clip (:1443-1449: zero-density
             # nodes get 0; no min/max cleanup in the positive-only path).
-            rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, 0.0,
-                              Q_tgt / rho_safe[None])
+                              Q_tgt * rho_inv[None])
             q_out = self._dss_q(rho_tgt, q_new, F)
             return rho_tgt, q_out
 
@@ -477,9 +534,9 @@ class IslTransport:
             Qf = local_qp.caas(aF, Q_mass_src, lo, hi,
                                Q_tgt.reshape(nt_, -1))
             Q_tgt = Qf.reshape(Q_tgt.shape)
-            rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
-                              Q_tgt / rho_safe[None])
+                              Q_tgt * rho_inv[None])
             q_new = jnp.clip(q_new, q_min_node, q_max_node)
             q_out = self._dss_q(rho_tgt, q_new, F)
             return rho_tgt, q_out
@@ -503,9 +560,10 @@ class IslTransport:
 
         # Q -> q with zero-density guard and numerical-noise clip
         # (:1429-1452).
-        rho_safe = jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+        # One reciprocal per node instead of nt emulated f64 divides.
+        rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
         q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
-                          Q_tgt / rho_safe[None])
+                          Q_tgt * rho_inv[None])
         q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         # --- DSS for tracers (mixing-ratio form; slmmir.cpp:1335-1339).

@@ -220,7 +220,12 @@ def limit_density(F, rho, extra_mass, limiter: str = "mn2"):
                                            rho_clip)
         return x_qp
 
-    need_qp = jnp.any(need & (delta < 0))
+    # The mn2 QP with w = a = F has the UNIFORM SHIFT as its unconstrained
+    # optimum (x_i = y_i + lambda with lambda = delta/sum(F)), so the
+    # iterative solve is needed only when the shift would drive a node
+    # negative - rare (density staying near 0 globally), and `rho_add` is
+    # exactly the QP optimum otherwise.
+    need_qp = jnp.any(rho_add < 0.0)
     x_qp = jax.lax.cond(need_qp, qp_branch, lambda _: rho_add, None)
     out = jnp.where((delta >= 0)[..., None], rho_add, x_qp)
     return jnp.where(need[..., None], out, rho)
