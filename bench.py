@@ -62,11 +62,16 @@ def run_bench():
 
     dof_per_step = mesh.ncell * mesh.np2 * nt
     dof_s = dof_per_step * nsteps_timed / el
+    # No published reference number exists for this config (BASELINE.json
+    # `published: {}`), so "baseline" = this repo's round-1 measurement on
+    # the same chip (BENCH_r01.json): the ratio tracks the build's own
+    # progress rather than a fictitious external parity.
+    ROUND1_DOF_S = 97.3e6
     return {
         "metric": "tracer-DOF/s per chip (ne30, np4, 40 tracers, pisl+caas)",
         "value": dof_s,
         "unit": "DOF/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": dof_s / ROUND1_DOF_S,
         "detail": {
             "platform": jax.devices()[0].platform,
             "x64": bool(jax.config.read("jax_enable_x64")),

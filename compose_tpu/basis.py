@@ -575,8 +575,40 @@ class GllNodalFromString(GLL):
         return _regionwise_eval(self.x, self._subsets, x)
 
 
+class FreeNodalFromString(GLL):
+    """islet::FreeNodalFromString (slmm_islet.hpp:157-168,
+    slmm_islet_string.cpp:281-330): a region-wise nodal-subset basis over
+    FREELY-PLACED nodes. The string is the GllNodalFromString format
+    followed by "x <np node coordinates>" (read_xnodes,
+    slmm_islet_string.cpp:285-297); the presence of "x" selects this class
+    (Basis::create_basis_from_string, slmm_basis.cpp:48-59). Weights are
+    generated with compute_weights, as in the reference."""
+
+    def __init__(self, np_: int, subsets, xnodes):
+        self.np = np_
+        self.name = "FreeNodalFromString"
+        if len(xnodes) != np_:
+            raise ValueError(f"basis string needs {np_} x-nodes, got "
+                             f"{len(xnodes)}")
+        x = np.asarray(xnodes, dtype=np.float64)
+        if np.any(np.diff(x) <= 0) or x[0] != -1.0 or x[-1] != 1.0:
+            raise ValueError("x-nodes must strictly increase from -1 to 1")
+        self.x = jnp.asarray(x)
+        self._subsets = subsets
+        self.w = jnp.asarray(compute_weights(self))
+
+    def eval(self, x):
+        return _regionwise_eval(self.x, self._subsets, x)
+
+
 def parse_basis_string(s: str):
-    """Parse the reference's basis-string format. Returns (np, subsets)."""
+    """Parse the reference's basis-string format. Returns (np, subsets,
+    xnodes-or-None); a trailing "x c0 c1 ..." coordinate list marks a
+    free-nodal basis (slmm_basis.cpp:48-59)."""
+    xnodes = None
+    if "x" in s:
+        s, _, tail = s.partition("x")
+        xnodes = [float(v) for v in tail.split()]
     head, *regions = s.split("|")
     vals = head.split()
     np_, include_bdy = int(vals[0]), int(vals[1])
@@ -601,7 +633,7 @@ def parse_basis_string(s: str):
             raise ValueError(f"region {ni}: must contain nodes "
                              f"{ni} and {ni + 1}")
         subsets.append(nodes)
-    return np_, subsets
+    return np_, subsets, xnodes
 
 
 _BASIS_REGISTRY = {
@@ -630,9 +662,11 @@ def create(name: str, np_: int):
     anything containing '|' is parsed as a string-defined basis
     (slmmir.cpp:1541)."""
     if "|" in name:
-        np_s, subsets = parse_basis_string(name)
+        np_s, subsets, xnodes = parse_basis_string(name)
         if np_s != np_:
             raise ValueError(f"basis string np={np_s} but mesh np={np_}")
+        if xnodes is not None:
+            return FreeNodalFromString(np_, subsets, xnodes)
         return GllNodalFromString(np_, subsets)
     key = name if name in _BASIS_REGISTRY else name.lower()
     if key not in _BASIS_REGISTRY:

@@ -68,6 +68,7 @@ class HaloMaps:
         B = ncell // n_shards
         self.n_shards = n_shards
         self.block = B
+        self.depth = depth
         owner = np.arange(ncell) // B
         rings = _cell_rings(mesh, depth)
 

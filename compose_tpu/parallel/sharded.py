@@ -90,7 +90,9 @@ class ShardedIsl:
         c2d_idx = np.asarray(m.c2d_idx)                  # (cnn, 4)
         c2d_mask = np.asarray(m.c2d_mask)
         slots4 = c2d_idx[d2c.reshape(-1)]                # (ncell*np2, 4)
-        Ff = np.asarray(m.dgbfi_gll).reshape(-1)
+        # DSS weights in the MODEL's mass measure (dmc es -> dgbfi_sphere),
+        # matching the single-chip FaceDss/_dss weights bitwise.
+        Ff = np.asarray(model.F).reshape(-1)
         self.cells4 = jnp.asarray(
             (slots4 // np2).astype(np.int32).reshape(m.ncell, np2, 4))
         self.k4 = jnp.asarray(
@@ -102,6 +104,7 @@ class ShardedIsl:
         self.send_idx = send_idx
         self.remap = remap
         self._step_jit = None
+        self._coverage_checked = set()
 
     # ------------------------------------------------------------------
     def coverage_ok(self, ts, tf):
@@ -114,6 +117,19 @@ class ShardedIsl:
     def step(self, rho, q, ts, tf):
         """rho (ncell, np2), q (nt, ncell, np2), sharded or unsharded
         (jit will move them); returns cell-sharded (rho', q')."""
+        # Enforce the CFL/halo assumption: HaloMaps.remap silently maps
+        # out-of-halo cells to local index 0, so a departure footprint
+        # beyond the halo depth would read wrong source cells. Checked
+        # host-side once per step size (the gallery winds' CFL varies
+        # slowly in time; the check integrates the full departure field).
+        key = round(float(tf) - float(ts), 12)
+        if key not in self._coverage_checked:
+            if not self.coverage_ok(ts, tf):
+                raise ValueError(
+                    f"halo depth {self.maps.depth} does not cover the "
+                    f"departure footprint of a dt={key} step; increase "
+                    "`depth` or reduce dt")
+            self._coverage_checked.add(key)
         if self._step_jit is None:
             mesh = self.mesh_dev
             body = jax.shard_map(

@@ -156,9 +156,15 @@ class FaceDss:
 
     # -- structural validation + factory ---------------------------------
     @staticmethod
-    def build(mesh):
+    def build(mesh, F=None):
         """Return a FaceDss for `mesh`, or None if the numbering does not
-        match the standard face-grid layout."""
+        match the standard face-grid layout.
+
+        F: the dgbfi weights defining the DSS average - MUST be the same
+        measure the caller's CDR conserves (d2c with weights w conserves
+        sum(w * field) and nothing else, slmmir_d2c.cpp:60-84). Defaults to
+        the Homme/GLL weights (-dmc f/eh); pass mesh.dgbfi_sphere for a
+        sphere-measure (-dmc es) pipeline."""
         ne, np_ = mesh.ne, mesh.np_
         if 6 * ne * ne != mesh.ncell:
             return None
@@ -167,7 +173,8 @@ class FaceDss:
         c2d_mask = np.asarray(mesh.c2d_mask)
         if not FaceDss._validate(ne, np_, d2c, c2d_idx, c2d_mask):
             return None
-        return FaceDss(ne, np_, d2c, c2d_idx, c2d_mask, mesh.dgbfi_gll)
+        return FaceDss(ne, np_, d2c, c2d_idx, c2d_mask,
+                       mesh.dgbfi_gll if F is None else F)
 
     @staticmethod
     def _validate(ne, np_, d2c_map, c2d_idx, c2d_mask):

@@ -503,7 +503,10 @@ class IrTransport:
         # mixing_ratio_input false for cell-integrated methods). Gated by
         # -d2c: without it the reference leaves CI fields discontinuous.
         if not cfg.d2c:
-            q_out = Q_tgt / jnp.where(rho_tgt == 0, 1.0, rho_tgt)[None]
+            # Zero-density nodes carry q = 0 (same guard as the isl paths).
+            q_out = jnp.where(rho_tgt[None] == 0, 0.0,
+                              Q_tgt / jnp.where(rho_tgt == 0, 1.0,
+                                                rho_tgt)[None])
             return rho_tgt, q_out
         Ff = self.F_mass.reshape(-1)
         rho_out = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,

@@ -100,7 +100,11 @@ class IslTransport:
         self.d2c_map = mesh.dgll2cgll.reshape(-1)
         # Face-grid DSS (O(perimeter) slice arithmetic; transport/dss_face)
         # when the mesh has the standard numbering, else the gather path.
-        self.face_dss = FaceDss.build(mesh)
+        # Built with THIS model's mass measure F: d2c conserves exactly the
+        # measure it averages with, so -dmc es (sphere measure) must DSS
+        # with dgbfi_sphere or every step leaks sphere mass through the
+        # inter-element jumps (the round-3 pref0_es_caas cv failure).
+        self.face_dss = FaceDss.build(mesh, self.F)
         if config.filter not in ("none", "caas-node"):
             self.mrd = spf.MassRedistributor(mesh.ncell, config.filter)
         else:

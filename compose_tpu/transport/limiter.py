@@ -224,10 +224,16 @@ def limit_density(F, rho, extra_mass, limiter: str = "mn2"):
     # optimum (x_i = y_i + lambda with lambda = delta/sum(F)), so the
     # iterative solve is needed only when the shift would drive a node
     # negative - rare (density staying near 0 globally), and `rho_add` is
-    # exactly the QP optimum otherwise.
+    # exactly the QP optimum otherwise. The cond is ONLY a compute skip;
+    # the per-cell `sel` below picks the branch value cell by cell, so the
+    # result is invariant to which OTHER cells share the batch (a shard_map
+    # block sees a subset of cells - a batch-global selection would break
+    # the bitwise single-chip/sharded contract in the near-zero-density
+    # regime).
     need_qp = jnp.any(rho_add < 0.0)
     x_qp = jax.lax.cond(need_qp, qp_branch, lambda _: rho_add, None)
-    out = jnp.where((delta >= 0)[..., None], rho_add, x_qp)
+    sel = (delta >= 0) | jnp.all(rho_add >= 0.0, axis=-1)
+    out = jnp.where(sel[..., None], rho_add, x_qp)
     return jnp.where(need[..., None], out, rho)
 
 

@@ -92,3 +92,25 @@ def test_transport_with_string_basis():
                      verbose=False)
     assert out.cv_gll < 5e-14
     assert np.isfinite(out.l2_err)
+
+
+def test_free_nodal_from_string_matches_table():
+    """A FreeNodalFromString built from the np4 FreeNodal table's own
+    nodes/subsets must reproduce islet::FreeNodal np4 exactly
+    (slmm_basis.cpp:48-59 selects the free-nodal path when the string
+    carries an 'x <coords>' tail)."""
+    xs = "-1 -4.4721359549995793e-01 4.4721359549995793e-01 1"
+    b = basis.create(f"4 1 | 0 3: 0 1 2 | 1 4: 0 1 2 3 x {xs}", 4)
+    assert b.name == "FreeNodalFromString"
+    ref = basis.create("FreeNodal", 4)
+    pts = jnp.linspace(-1.0, 1.0, 23)
+    assert np.array_equal(np.asarray(b.eval(pts)), np.asarray(ref.eval(pts)))
+    assert np.allclose(np.asarray(b.x), np.asarray(ref.x))
+    assert np.allclose(np.asarray(b.w), np.asarray(ref.w), atol=1e-13)
+
+
+def test_free_nodal_from_string_validation():
+    with pytest.raises(ValueError):   # wrong x count
+        basis.create("4 1 | 0 3: 0 1 2 | 1 4: 0 1 2 3 x -1 0 1", 4)
+    with pytest.raises(ValueError):   # not increasing
+        basis.create("4 1 | 0 3: 0 1 2 | 1 4: 0 1 2 3 x -1 .5 -.5 1", 4)

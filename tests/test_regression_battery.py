@@ -151,110 +151,110 @@ ROWS = [
     # --- Limiter (slmm_runtests.py:189-196).
     ("ir_qlt_limcaas", ":191 ir qlt lim caas",
      D(ne=10, np_=4, nsteps=12, ics=SC, method="ir", filter_="qlt",
-       limiter="caas"),
+       limiter="caas", d2c=False),
      D(l2=3.0e-1, cv=3e-14, min=0.1, max=1.0)),
     ("cdg_qlt", ":194 cdg qlt slotted",
      D(ne=10, np_=4, nsteps=12, ics=SC, method="cdg", filter_="qlt",
-       limiter="mn2"),
+       limiter="mn2", d2c=False),
      D(l2=3.03e-1, cv=3e-14, min=0.1, max=1.0)),
 
     # --- Multiple tracers (slmm_runtests.py:197).
     ("ir_ccb2", ":198 ir correlatedcosinebells x2",
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills",
                                      "correlatedcosinebells"),
-       method="ir", filter_="none", limiter="none"),
+       method="ir", filter_="none", limiter="none", d2c=False),
      D(l2=1.02e-2, cv=2e-7)),
 
     # --- DMC variants (slmm_runtests.py:199-216).
     ("ir_dmc_es", ":201 ir dmc es",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="ir", dmc="es",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=9.1e-3, cv=2e-13)),
     ("cdg_dmc_es", ":204 cdg dmc es",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="cdg", dmc="es",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=9.1e-3, cv=2e-13)),
     ("ir_dmc_eh", ":208 ir dmc eh",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="ir", dmc="eh",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=9.1e-3, cv_gll=5e-15)),
     ("ir_dmc_geh", ":211 ir dmc geh",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="ir", dmc="geh",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=9.1e-3, cv_gll=2e-14)),
     ("ir_qlt_dmc_es", ":214 ir qlt dmc es slotted",
      D(ne=10, np_=4, nsteps=12, ics=SC, method="ir", dmc="es",
-       filter_="qlt", limiter="mn2"),
+       filter_="qlt", limiter="mn2", d2c=False),
      D(l2=3.1e-1, cv=2.3e-13, min=0.1, max=1.0)),
     ("ir_qlt_dmc_eh", ":217 ir qlt dmc eh slotted",
      D(ne=10, np_=4, nsteps=12, ics=SC, method="ir", dmc="eh",
-       filter_="qlt", limiter="mn2"),
+       filter_="qlt", limiter="mn2", d2c=False),
      D(l2=3.0e-1, cv_gll=5e-14, min=0.1, max=1.0)),
     ("ir_dmc_f", ":220 ir dmc f np4",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="ir", dmc="f",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=1.42e-2, cv_gll=6e-14)),
     ("ir_dmc_f_np2_ne30", ":221 ir dmc f np2 ne30",
      D(ne=30, np_=2, nsteps=12, ics=GH, method="ir", dmc="f",
-       filter_="none", limiter="none"),
+       filter_="none", limiter="none", d2c=False),
      D(l2=6.49e-2, cv_gll=1.4e-13)),
 
     # --- nsteps=96 ne=5 long-run family (slmm_runtests.py:225-243).
     ("cdg96_qlt_f", ":225 cdg 96steps qlt dmc f",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="cdg", dmc="f",
-       filter_="qlt", limiter="mn2"),
+       filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.6e-1, cv_gll=4e-14, min=0.1, max=1.0)),
     ("cdg96_qlt_f_caas", ":228 cdg 96steps qlt dmc f lim caas",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="cdg", dmc="f",
-       filter_="qlt", limiter="caas"),
+       filter_="qlt", limiter="caas", d2c=False),
      D(l2=4.6e-1, cv_gll=4e-14, min=0.1, max=1.0)),
     ("cdg96_qlt_f_caags", ":231 cdg 96steps qlt dmc f lim caags",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="cdg", dmc="f",
-       filter_="qlt", limiter="caags"),
+       filter_="qlt", limiter="caags", d2c=False),
      D(l2=4.6e-1, cv_gll=4e-14, min=0.1, max=1.0)),
     ("ir96_qlt_f", ":234 ir 96steps qlt dmc f",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="ir", dmc="f",
-       filter_="qlt", limiter="mn2"),
+       filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.6e-1, cv_gll=4e-14, min=0.1, max=1.0)),
     ("cdg96_qlt_ef", ":239 cdg 96steps qlt dmc ef -rit",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="cdg", dmc="ef",
-       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_cdg"),
+       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_cdg", d2c=False),
      D(l2=4.6e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("ir96_qlt_ef", ":242 ir 96steps qlt dmc ef -rit",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="ir", dmc="ef",
-       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_ir"),
+       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_ir", d2c=False),
      D(l2=4.6e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("ir96_np2_ne15", ":245 96steps ne15 np2 qlt dmc ef",
      D(ne=15, np_=2, nsteps=96, ics=SC, method="ir", dmc="ef",
-       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_np2"),
+       filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_np2", d2c=False),
      D(l2=4.5e-1, cv_gll=2.2e-14, min=0.1, max=1.0)),
 
     # --- The more complicated mono method (slmm_runtests.py:248).
     ("ir_qlt_2ics", ":249 ir qlt dmc f gauss+slotted",
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders"),
-       method="ir", dmc="f", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="f", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=1.5e-2, cv_gll=8e-14, min=0.0, max=0.957)),
 
     # --- Subcell meshes (slmm_runtests.py:252-268; -tq 4, np=2 transport).
     ("sub96_gll", ":252 96steps gllsubcell tq4 qlt ef",
      D(ne=5, np_=4, nsteps=96, ics=SC, mesh_type="gllsubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.6e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("sub96_runi", ":255 96steps runisubcell tq4 qlt ef",
      D(ne=5, np_=4, nsteps=96, ics=SC, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.5e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("sub12_gll", ":259 12steps gllsubcell tq4 accuracy",
      D(ne=5, np_=4, nsteps=12, ics=GH, mesh_type="gllsubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=7.40e-2, cv_gll=9e-15, min=0.0, max=0.96)),
     ("sub12_runi", ":262 12steps runisubcell tq4 accuracy",
      D(ne=5, np_=4, nsteps=12, ics=GH, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=5.41e-2, cv_gll=5e-15, min=0.0, max=0.96)),
     ("sub_np10_ne2", ":266 ne2 np10 runisubcell tq4",
      D(ne=2, np_=10, nsteps=12, ics=GH, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=3.5e-2, cv_gll=3e-15, min=0.0, max=0.96)),
 
     # --- Tracer-decoupled CMBC, 5 tracers (slmm_runtests.py:270-277).
@@ -262,31 +262,31 @@ ROWS = [
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders",
                                      "cosinebells",
                                      "correlatedcosinebells", "xyztrig"),
-       method="ir", dmc="f", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="f", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=1.45e-2, cv_gll=6e-14, min=1.495e-8, max=0.956)),
     ("cmbc_es", ":276 ir 5 tracers qlt dmc es",
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders",
                                      "cosinebells",
                                      "correlatedcosinebells", "xyztrig"),
-       method="ir", dmc="es", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="es", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=9.18e-3, cv=2e-13, min=1.495e-8, max=0.956)),
     ("cmbc_eh", ":277 ir 5 tracers qlt dmc eh",
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders",
                                      "cosinebells",
                                      "correlatedcosinebells", "xyztrig"),
-       method="ir", dmc="eh", filter_="qlt", limiter="mn2"),
+       method="ir", dmc="eh", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=9.18e-3, cv_gll=1e-14, min=1.495e-8, max=0.956)),
 
     # --- Perturbed-rho tracer consistency (slmm_runtests.py:279-285).
     ("perturb_nondiv", ":280 constant q, perturbed rho, nondivergent",
      D(ne=10, np_=4, nsteps=12, ics=("constant",), ode="nondivergent",
        method="ir", dmc="ef", filter_="qlt", limiter="mn2",
-       perturb_rho=0.05),
+       perturb_rho=0.05, d2c=False),
      D(l2=1e-6, cv_gll=5e-14, min=0.42 - 1e-6, max=0.42 + 1e-6)),
     ("perturb_div", ":283 constant q, perturbed rho, divergent",
      D(ne=10, np_=4, nsteps=12, ics=("constant",), ode="divergent",
        method="ir", dmc="ef", filter_="qlt", limiter="mn2",
-       perturb_rho=0.05),
+       perturb_rho=0.05, d2c=False),
      D(l2=1e-6, cv_gll=5e-14, min=0.42 - 1e-6, max=0.42 + 1e-6)),
 ]
 

