@@ -119,6 +119,15 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
     # Subcell meshes refine the grid and force np=2 transport
     # (slmmir.cpp:445); pick up the effective sizes from the mesh.
     ne, np_, basis = mesh.ne, mesh.np_, mesh.basis_name
+    # (QOF, IR) is not supported on subcell meshes - the IR density factor
+    # FsmoFtm mixes per-target ref-square measures, which is unstable when
+    # neighboring cells have different sizes; the reference switches to
+    # CDG (slmmir.cpp:1837-1843).
+    if mesh.is_subcell and dmc in ("f", "ef") and method == "ir":
+        if verbose:
+            print("WARNING: Switching to CDG; (QOF, IR) is not supported "
+                  "for subcell mesh.")
+        method = "cdg"
     wind = gallery.create_wind(ode)
     rho_remapper = None
     if prefine in (1, 5):
@@ -127,7 +136,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         # primary (IC/diagnostic) grid is the v-grid.
         from .transport.prefine import PRefineConfig, PRefineTransport
         cfg = PRefineConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
-                            limiter=limiter, experiment=prefine, nsub=nsub)
+                            limiter=limiter, experiment=prefine, nsub=nsub,
+                            rotate=rotate)
         model = PRefineTransport(mesh, wind, cfg)
         if prefine == 5:
             mesh = model.mesh_v
@@ -155,7 +165,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                         dmc="f" if dmc == "none" else dmc,
                         positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
-                        timeint=timeint, interp_dtype=interp_dtype)
+                        timeint=timeint, interp_dtype=interp_dtype,
+                        rotate=rotate)
         model = IslTransport(mesh, wind, cfg)
     else:
         # pislu = pisl with the natural (unstabilized GLL) interpolant
@@ -167,7 +178,8 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
                         dmc="f" if dmc == "none" else dmc,
                         positive_only=positive_only,
                         geom_dtype=geom_dtype, fitext=fitext,
-                        timeint=timeint, interp_dtype=interp_dtype)
+                        timeint=timeint, interp_dtype=interp_dtype,
+                        rotate=rotate)
         model = IslTransport(mesh, wind, cfg)
 
     rho = jnp.ones((mesh.ncell, mesh.np2))

@@ -54,7 +54,14 @@ _CACHE = {}
 def build(mesh: cubed_sphere.CubedSphereMesh, tq_order: int = None) -> IrData:
     rot = (None if mesh.rot_R is None
            else tuple(np.asarray(mesh.rot_R).ravel().tolist()))
-    key = (mesh.ne, mesh.np_, tq_order, rot, mesh.nonuni)
+    # The key must separate meshes that share (ne, np): a gllsubcell
+    # ne5/np4 mesh, a runisubcell ne5/np4 mesh, and a geometric ne15/np2
+    # mesh all present as ne=15, np=2 but have different vertex geometry -
+    # include the subcell identity (parent ne + break positions).
+    sub = (mesh.sub_parent_ne,
+           None if mesh.sub_breaks is None
+           else tuple(np.asarray(mesh.sub_breaks).tolist()))
+    key = (mesh.ne, mesh.np_, tq_order, rot, mesh.nonuni, sub)
     if key not in _CACHE:
         _CACHE[key] = _build(mesh, tq_order)
     return _CACHE[key]

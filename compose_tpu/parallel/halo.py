@@ -83,7 +83,8 @@ class HaloMaps:
                     need[oc].add(c1)
                     send[owner[c1]].add(c1)
 
-        # One padded boundary block per shard, all_gathered over the axis.
+        # One padded boundary block per shard, all_gathered over the axis
+        # (legacy layout, kept for the GSPMD-era tests).
         max_send = max(len(s) for s in send)
         self.send_idx = np.zeros((n_shards, max_send), np.int32)  # local ids
         for s in range(n_shards):
@@ -95,30 +96,85 @@ class HaloMaps:
                 self.send_idx[s, len(loc):] = loc[0] if loc else 0
         self.max_send = max_send
 
+        # --- Neighbor-wise point-to-point exchange (the design SURVEY §7
+        # stage 7 / the reference's one-message-per-rank-pair contract,
+        # cedr_tree.cpp:185-213): for each ordered shard pair (src -> dst)
+        # the cells dst needs from src. Executed as one `ppermute` round
+        # per occurring shard-offset delta d (dst = src + d): every shard
+        # sends its per-delta buffer (padded to that delta's max size), so
+        # per-chip exchanged volume is sum_d size_d ~ O(own perimeter) -
+        # independent of n_shards - instead of the all_gather's
+        # n_shards * max_send.
+        pair = {}               # (src, dst) -> sorted cell list
+        for dst in range(n_shards):
+            by_src = {}
+            for c in sorted(need[dst]):
+                by_src.setdefault(owner[c], []).append(c)
+            for src, cells in by_src.items():
+                pair[(src, dst)] = cells
+        deltas = sorted({(dst - src) % n_shards for (src, dst) in pair})
+        self.deltas = deltas
+        self.pair_sizes = []
+        self.pair_send_idx = []  # per delta: (n_shards, size_d) local ids
+        for d in deltas:
+            size_d = max((len(pair.get((s, (s + d) % n_shards), []))
+                          for s in range(n_shards)), default=0)
+            tab = np.zeros((n_shards, size_d), np.int32)
+            for s in range(n_shards):
+                cells = pair.get((s, (s + d) % n_shards), [])
+                loc = [c - s * B for c in cells]
+                tab[s, :len(loc)] = loc
+                if len(loc) < size_d:
+                    tab[s, len(loc):] = loc[0] if loc else 0
+            self.pair_sizes.append(size_d)
+            self.pair_send_idx.append(tab)
+
         # Remap: global cell id -> index into [local block | halo buffer]
-        # for each shard. Buffer layout after all_gather:
-        # (n_shards, max_send) flattened.
+        # for each shard. Halo buffer layout = concat over deltas d of the
+        # size_d cells received from shard s-d (in that sender's sorted
+        # order) - matching halo_exchange below.
+        off = {}
+        o = 0
+        for d, sz in zip(deltas, self.pair_sizes):
+            off[d] = o
+            o += sz
+        self.halo_size = o
         self.remap = np.zeros((n_shards, ncell), np.int32)
         for s in range(n_shards):
             # Local cells.
             self.remap[s] = 0
             lo, hi = s * B, (s + 1) * B
             self.remap[s, lo:hi] = np.arange(B)
-            # Halo cells: position of c in the gathered buffer.
-            pos = {}
-            for s2 in range(n_shards):
-                ids = sorted(send[s2])
-                for j, c in enumerate(ids):
-                    pos[c] = s2 * max_send + j
+            # Halo cells: position of c in the received buffer.
             for c in need[s]:
-                self.remap[s, c] = B + pos[c]
+                src = owner[c]
+                d = (s - src) % n_shards
+                j = pair[(src, s)].index(c)
+                self.remap[s, c] = B + off[d] + j
             # Cells neither local nor in the halo are unreachable under the
             # CFL bound; map them to 0 (reads would be wrong, which the
             # validation test guards against by construction).
-        self.comm_fraction = max_send * n_shards / ncell
+        # Per-chip exchanged fraction of the global state under the
+        # neighbor-wise exchange (recv volume / ncell).
+        self.comm_fraction = self.halo_size / ncell
+        # The all_gather layout's fraction, for comparison/accounting.
+        self.comm_fraction_allgather = max_send * n_shards / ncell
 
     def jnp_tables(self):
         return (jnp.asarray(self.send_idx), jnp.asarray(self.remap))
+
+    def ppermute_tables(self):
+        """Per-delta send tables + ppermute permutations for
+        halo_exchange: ([(n_shards, size_d) int32 ...], [[(src, dst)...]
+        ...])."""
+        perms = [[(s, (s + d) % self.n_shards) for s in range(self.n_shards)]
+                 for d in self.deltas]
+        return ([jnp.asarray(t) for t in self.pair_send_idx], perms)
+
+    def bytes_per_exchange(self, nfields: int, np2: int, itemsize: int = 8):
+        """Per-chip RECEIVED bytes for one halo exchange of `nfields`
+        (ncell, np2) fields (the comm-volume accounting of VERDICT #7)."""
+        return self.halo_size * np2 * nfields * itemsize
 
     def coverage_ok(self, ci, d2c_map, np2):
         """Verify the halo depth covers this step's actual departure
@@ -138,6 +194,27 @@ class HaloMaps:
         return bool(np.all(np.where(local, ok_local, ok_halo)))
 
 
+def halo_exchange(st, axis_name: str, send_tabs, perms):
+    """Neighbor-wise point-to-point halo exchange inside shard_map.
+
+    st: (nfields, B, np2) this shard's local block. Returns
+    (nfields, B + halo_size, np2): local block followed by the per-delta
+    receive buffers (layout matching HaloMaps.remap). One `lax.ppermute`
+    per occurring shard-offset delta - point-to-point messages between
+    neighbor shards only (the reference's one-message-per-rank-pair
+    pattern, cedr_tree.cpp:185-213), so per-chip volume is O(own
+    perimeter), independent of n_shards. The exchanged values are copies
+    (no arithmetic), so results stay bitwise identical to any other
+    exchange layout.
+    """
+    s = jax.lax.axis_index(axis_name)
+    parts = [st]
+    for tab, perm in zip(send_tabs, perms):
+        bnd = st[:, tab[s], :]                       # (nf, size_d, np2)
+        parts.append(jax.lax.ppermute(bnd, axis_name, perm))
+    return jnp.concatenate(parts, axis=1)
+
+
 def halo_interp(mesh_dev: Mesh, maps: HaloMaps, field, ci, w, d2c_map):
     """Departure interpolation + scatter-to-DGLL with explicit halo
     exchange.
@@ -149,22 +226,20 @@ def halo_interp(mesh_dev: Mesh, maps: HaloMaps, field, ci, w, d2c_map):
     computes exactly its own cells' nodes, whose departure cells lie
     within the halo by the CFL bound.
 
-    Inside shard_map: each shard ships only its padded boundary block over
-    ICI (`all_gather` of (max_send,) cells vs the full (ncell,) block
-    GSPMD moves), then gathers locally through the static remap table.
+    Inside shard_map: each shard ships only its per-neighbor boundary
+    cells over ICI (`ppermute` per shard-offset delta vs the full
+    (ncell,) block GSPMD moves), then gathers locally through the static
+    remap table.
     """
-    send_idx, remap = maps.jnp_tables()
+    send_tabs, perms = maps.ppermute_tables()
+    _, remap = maps.jnp_tables()
     np2 = field.shape[-1]
     d2c_blk = d2c_map.reshape(-1, np2)               # (ncell, np2), sharded
 
-    def body(field_blk, d2c_b, ci_, w_, send_idx_, remap_):
+    def body(field_blk, d2c_b, ci_, w_, remap_):
         # field_blk: (nt, B, np2) this shard's block; d2c_b: (B, np2).
         s = jax.lax.axis_index("cells")
-        my_send = send_idx_[s]                       # (max_send,)
-        bnd = field_blk[:, my_send, :]               # (nt, max_send, np2)
-        halo = jax.lax.all_gather(bnd, "cells", axis=1)  # (nt, ns, ms, np2)
-        halo = halo.reshape(field_blk.shape[0], -1, field_blk.shape[2])
-        ext = jnp.concatenate([field_blk, halo], axis=1)
+        ext = halo_exchange(field_blk, "cells", send_tabs, perms)
         nodes = d2c_b.reshape(-1)                    # (B*np2,)
         src_cells = remap_[s][ci_[nodes]]            # (B*np2,)
         src = ext[:, src_cells, :]                   # (nt, B*np2, np2)
@@ -173,8 +248,7 @@ def halo_interp(mesh_dev: Mesh, maps: HaloMaps, field, ci, w, d2c_map):
 
     fn = jax.shard_map(
         body, mesh=mesh_dev,
-        in_specs=(P(None, "cells", None), P("cells", None), P(), P(), P(),
-                  P()),
+        in_specs=(P(None, "cells", None), P("cells", None), P(), P(), P()),
         out_specs=P(None, "cells", None),
         check_vma=False)
-    return fn(field, d2c_blk, ci, w, send_idx, remap)
+    return fn(field, d2c_blk, ci, w, remap)

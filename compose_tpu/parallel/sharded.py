@@ -6,11 +6,14 @@ for, replacing the legacy GSPMD path (parallel/sharding.py) that let XLA
 all-gather the full tracer state per step. Per step, the only collectives
 are:
 
-  1. one `all_gather` of each shard's PADDED BOUNDARY BLOCK of (rho, q)
-     before the departure gather (parallel/halo.py tables; the reference's
-     CFL halo, slmmir_remapper.cpp:7),
-  2. one boundary `all_gather` of rho before the density DSS and one of
-     (rho, q) before the tracer DSS (ring-1 continuity),
+  1. one neighbor-wise `ppermute` halo exchange of (rho, q) before the
+     departure gather (parallel/halo.py tables; the reference's CFL halo,
+     slmmir_remapper.cpp:7, and its one-message-per-rank-pair pattern,
+     cedr_tree.cpp:185-213) - issued FIRST in the step so XLA's
+     latency-hiding scheduler overlaps it with the departure-trajectory
+     compute, which is independent of the field values,
+  2. one boundary `ppermute` exchange of rho before the density DSS and
+     one of (rho, q) before the tracer DSS (ring-1 continuity),
   3. O(n_shards * log ncell) scalars for the BFB tree sums (cdr/bfb.py,
      matching cedr_bfb_tree_allreduce.cpp:79-159) and the sharded QLT
      frontier (cdr/qlt_sharded.py, matching cedr_qlt.cpp:619-640),
@@ -42,7 +45,7 @@ from ..cdr import qlt as qlt_mod
 from ..mesh import cubed_sphere
 from ..ops import sqr
 from ..transport import limiter as limiter_mod, spf, timeint
-from .halo import HaloMaps
+from .halo import HaloMaps, halo_exchange
 from .sharding import cell_mesh
 
 
@@ -103,6 +106,9 @@ class ShardedIsl:
         send_idx, remap = self.maps.jnp_tables()
         self.send_idx = send_idx
         self.remap = remap
+        # Neighbor-wise exchange tables (integer constants - safe to close
+        # over; only float DIVISOR tables must be runtime operands).
+        self.halo_tabs, self.halo_perms = self.maps.ppermute_tables()
         self._step_jit = None
         self._coverage_checked = set()
 
@@ -143,14 +149,14 @@ class ShardedIsl:
                           P("cells", None, None),   # k4
                           P("cells", None, None),   # mask4
                           P("cells", None, None),   # F4
-                          P(), P()),                # remap, send_idx
+                          P()),                     # remap
                 out_specs=(P("cells", None), P(None, "cells", None)),
                 check_vma=False)
 
             def stepfn(rho, q, ts, tf):
                 return body(rho, q, ts, tf, self.node_xyz, self.model.F,
                             self.m.jac_node, self.cells4, self.k4,
-                            self.mask4, self.F4, self.remap, self.send_idx)
+                            self.mask4, self.F4, self.remap)
 
             self._step_jit = jax.jit(stepfn)
         return self._step_jit(rho, q, ts, tf)
@@ -159,13 +165,10 @@ class ShardedIsl:
     # shard_map body and helpers. Everything below runs per shard with
     # axis_name "cells".
 
-    def _halo_ext(self, st, my_send):
-        """st: (C, B, np2) -> (C, B + n_shards*max_send, np2): local block
-        followed by every shard's padded boundary block."""
-        bnd = st[:, my_send, :]
-        halo = jax.lax.all_gather(bnd, "cells", axis=1)
-        halo = halo.reshape(st.shape[0], -1, st.shape[2])
-        return jnp.concatenate([st, halo], axis=1)
+    def _halo_ext(self, st):
+        """st: (C, B, np2) -> (C, B + halo_size, np2): local block followed
+        by the per-delta neighbor receive buffers (halo.halo_exchange)."""
+        return halo_exchange(st, "cells", self.halo_tabs, self.halo_perms)
 
     def _gsum_cells(self, x):
         return self.r_cells.allreduce(x, "cells")
@@ -224,11 +227,11 @@ class ShardedIsl:
         pc = dep_blk.reshape(dep_blk.shape[0], m.np_, m.np_, 3)
         return self.model._jacobian_cells(pc)
 
-    def _dss_rho_blk(self, rho_blk, eslots4, mask4, F4, my_send):
+    def _dss_rho_blk(self, rho_blk, eslots4, mask4, F4):
         """Gather-formulation DSS of a (B, np2) density block: one ring-1
         boundary exchange + the exact per-node arithmetic of
         dss.dss_gather."""
-        ext = self._halo_ext(rho_blk[None], my_send)[0]   # (B+H, np2)
+        ext = self._halo_ext(rho_blk[None])[0]            # (B+H, np2)
         vals = ext.reshape(-1)[eslots4]                   # (B, np2, 4)
         w = jnp.where(mask4, F4, 0.0)
         num = jnp.sum(w * vals, axis=-1)
@@ -238,12 +241,12 @@ class ShardedIsl:
         small = jnp.where(mask4, vals, jnp.inf)
         return jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
 
-    def _dss_q_blk(self, rho_blk, q_blk, eslots4, mask4, F4, my_send):
+    def _dss_q_blk(self, rho_blk, q_blk, eslots4, mask4, F4):
         """Gather-formulation mixing-ratio DSS (dss.dss_q_gather_t) with
         one (rho, q) boundary exchange; tracer-innermost layout."""
         nt = q_blk.shape[0]
         st = jnp.concatenate([rho_blk[None], q_blk], axis=0)
-        ext = self._halo_ext(st, my_send)                 # (nt+1, B+H, np2)
+        ext = self._halo_ext(st)                          # (nt+1, B+H, np2)
         rho_f = ext[0].reshape(-1)
         qT = jnp.moveaxis(ext[1:].reshape(nt, -1), 0, -1)  # (slots, nt)
         vals = qT[eslots4]                                # (B, np2, 4, nt)
@@ -263,24 +266,27 @@ class ShardedIsl:
 
     # ------------------------------------------------------------------
     def _body(self, rho, q, ts, tf, node_xyz, F, jac_node, cells4, k4,
-              mask4, F4, remap, send_idx):
+              mask4, F4, remap):
         cfg, m = self.cfg, self.m
         s = jax.lax.axis_index("cells")
         rmp = remap[s]
-        my_send = send_idx[s]
         B, np2 = rho.shape
         nt = q.shape[0]
         Ff = F.reshape(-1)
         eslots4 = rmp[cells4] * np2 + k4                  # (B, np2, 4)
 
+        # --- Halo exchange of the source state, issued FIRST: it depends
+        # only on the inputs, and the departure-trajectory compute below
+        # depends only on node coordinates, so XLA's latency-hiding
+        # scheduler overlaps the ppermute rounds with the interior
+        # integration (SURVEY §7 stage 7).
+        st = jnp.concatenate([rho[None], q], axis=0)
+        ext = self._halo_ext(st)                          # (nt+1, B+H, np2)
+        rho_ext, q_ext = ext[0], ext[1:]
+
         # --- Departure data for this shard's DGLL nodes.
         dep, ci, w = self._departure_blk(node_xyz, ts, tf)
         loc = rmp[ci]                                     # ext cell index
-
-        # --- Halo exchange of the source state.
-        st = jnp.concatenate([rho[None], q], axis=0)
-        ext = self._halo_ext(st, my_send)                 # (nt+1, B+H, np2)
-        rho_ext, q_ext = ext[0], ext[1:]
 
         # --- Density transport (mirrors _step_impl incl. the f32 fast
         # path; cast-then-gather here equals the single chip's
@@ -314,12 +320,10 @@ class ShardedIsl:
 
         if cfg.filter == "none":
             if cfg.rho_isl:
-                rho_out = self._dss_rho_blk(rho_tgt, eslots4, mask4, F4,
-                                            my_send)
+                rho_out = self._dss_rho_blk(rho_tgt, eslots4, mask4, F4)
             else:
                 rho_out = rho_tgt
-            q_out = self._dss_q_blk(rho_out, q_tgt, eslots4, mask4, F4,
-                                    my_send)
+            q_out = self._dss_q_blk(rho_out, q_tgt, eslots4, mask4, F4)
             return rho_out, q_out
 
         # --- CDR for rho.
@@ -333,8 +337,7 @@ class ShardedIsl:
                                         mass_src - mass_tgt)
             delta = redist - R_mass
             rho_tgt = limiter_mod.limit_density(F, rho_tgt, delta)
-            rho_tgt = self._dss_rho_blk(rho_tgt, eslots4, mask4, F4,
-                                        my_send)
+            rho_tgt = self._dss_rho_blk(rho_tgt, eslots4, mask4, F4)
 
         # --- CDR for tracers.
         Q_tgt = q_tgt * rho_tgt[None]
@@ -357,8 +360,7 @@ class ShardedIsl:
             rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, 0.0,
                               Q_tgt * rho_inv[None])
-            q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4,
-                                    my_send)
+            q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4)
             return rho_tgt, q_out
 
         # Source-cell bounds over [local | halo] cells.
@@ -393,6 +395,5 @@ class ShardedIsl:
                           Q_tgt * rho_inv[None])
         q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
-        q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4,
-                                my_send)
+        q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4)
         return rho_tgt, q_out

@@ -86,7 +86,12 @@ class IrTransport:
         self.mesh = mesh
         self.config = config
         self.wind = wind
-        self.ird = ir_data.build(mesh, tq_order=config.tq)
+        # Default -tq for facet transport is (np-1)*4, not the QOS
+        # accuracy-matched order (slmmir.cpp:1816-1822).
+        tq = config.tq
+        if tq is None and config.dmc in _FACET:
+            tq = (config.np_ - 1) * 4
+        self.ird = ir_data.build(mesh, tq_order=tq)
         self.gll = basis_mod.GLL(config.np_)
         self.facet = config.dmc in _FACET
         self.F_sphere = mesh.dgbfi_sphere

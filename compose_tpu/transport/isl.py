@@ -67,6 +67,10 @@ class IslConfig:
     # O(1e-7) interpolation-weight noise enters the (1e-2-scale) solution
     # error. 'f64' reproduces the reference tolerances everywhere.
     geom_dtype: str = "f64"
+    # Grid rotation spec ((axis), angle) for the -timeint interp coarse
+    # velocity grid: it must share the fine mesh's rotation
+    # (slmmir.cpp:456-459 rotates geo_p before grid derivation).
+    rotate: tuple = None
     # Tracer interpolation precision. With f32 geometry the interp WEIGHTS
     # already carry O(1e-7) noise, so gathering/contracting the tracer
     # VALUES in f32 adds nothing new to the error budget - and that gather
@@ -117,7 +121,8 @@ class IslTransport:
         if config.timeint in ("interp", "interpline") \
                 and config.v_np < config.np_:
             # Coarse velocity grid + fine-node interpolation data.
-            self.vmesh = cubed_sphere.build(mesh.ne, config.v_np, "Gll")
+            self.vmesh = cubed_sphere.build(mesh.ne, config.v_np, "Gll",
+                                            rotate=config.rotate)
             vb = basis_mod.GLL(config.v_np)
             # Fine cgll node -> owner cell + ref coords -> coarse basis
             # weights. Nodes with the same local index share weights.

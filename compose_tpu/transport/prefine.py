@@ -55,6 +55,10 @@ class PRefineConfig:
     experiment: int = 5            # 1 | 5
     nsub: int = 8
     v_np: int = 4
+    # Grid rotation spec ((axis), angle) - the v-grid MUST be built with
+    # the same rotation as the fine grid (slmmir -rotate-grid rotates
+    # geo_p before both grids are derived, slmmir.cpp:456-459).
+    rotate: tuple = None
 
 
 def _kron_eval(bas_from, x_nodes):
@@ -75,7 +79,8 @@ class PRefineTransport:
         self.mesh_f = mesh_f
         # Coarse grid: GLL nodes, stabilized GllOffsetNodal interpolant.
         self.mesh_v = cubed_sphere.build(config.ne, config.v_np,
-                                         "GllOffsetNodal")
+                                         "GllOffsetNodal",
+                                         rotate=config.rotate)
         mv, mf = self.mesh_v, mesh_f
         self.basis_v = basis_mod.create("GllOffsetNodal", config.v_np)
         self.basis_f = basis_mod.create(config.basis, config.np_)

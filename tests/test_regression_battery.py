@@ -190,12 +190,12 @@ ROWS = [
      D(ne=10, np_=4, nsteps=12, ics=SC, method="ir", dmc="eh",
        filter_="qlt", limiter="mn2", d2c=False),
      D(l2=3.0e-1, cv_gll=5e-14, min=0.1, max=1.0)),
-    ("ir_dmc_f", ":220 ir dmc f np4",
-     D(ne=10, np_=4, nsteps=12, ics=GH, method="ir", dmc="f",
+    ("ir_dmc_f", ":220 dmc f np4 (no -method: facet dmc defaults to cdg, slmmir.cpp:1828-1831)",
+     D(ne=10, np_=4, nsteps=12, ics=GH, method="cdg", dmc="f",
        filter_="none", limiter="none", d2c=False),
      D(l2=1.42e-2, cv_gll=6e-14)),
     ("ir_dmc_f_np2_ne30", ":221 ir dmc f np2 ne30",
-     D(ne=30, np_=2, nsteps=12, ics=GH, method="ir", dmc="f",
+     D(ne=30, np_=2, nsteps=12, ics=GH, method="cdg", dmc="f",
        filter_="none", limiter="none", d2c=False),
      D(l2=6.49e-2, cv_gll=1.4e-13)),
 
@@ -225,7 +225,7 @@ ROWS = [
        filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_ir", d2c=False),
      D(l2=4.6e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("ir96_np2_ne15", ":245 96steps ne15 np2 qlt dmc ef",
-     D(ne=15, np_=2, nsteps=96, ics=SC, method="ir", dmc="ef",
+     D(ne=15, np_=2, nsteps=96, ics=SC, method="cdg", dmc="ef",
        filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_np2", d2c=False),
      D(l2=4.5e-1, cv_gll=2.2e-14, min=0.1, max=1.0)),
 
@@ -238,23 +238,23 @@ ROWS = [
     # --- Subcell meshes (slmm_runtests.py:252-268; -tq 4, np=2 transport).
     ("sub96_gll", ":252 96steps gllsubcell tq4 qlt ef",
      D(ne=5, np_=4, nsteps=96, ics=SC, mesh_type="gllsubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.6e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("sub96_runi", ":255 96steps runisubcell tq4 qlt ef",
      D(ne=5, np_=4, nsteps=96, ics=SC, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=4.5e-1, cv_gll=2e-14, min=0.1, max=1.0)),
     ("sub12_gll", ":259 12steps gllsubcell tq4 accuracy",
      D(ne=5, np_=4, nsteps=12, ics=GH, mesh_type="gllsubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=7.40e-2, cv_gll=9e-15, min=0.0, max=0.96)),
     ("sub12_runi", ":262 12steps runisubcell tq4 accuracy",
      D(ne=5, np_=4, nsteps=12, ics=GH, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=5.41e-2, cv_gll=5e-15, min=0.0, max=0.96)),
     ("sub_np10_ne2", ":266 ne2 np10 runisubcell tq4",
      D(ne=2, np_=10, nsteps=12, ics=GH, mesh_type="runisubcell", tq=4,
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=3.5e-2, cv_gll=3e-15, min=0.0, max=0.96)),
 
     # --- Tracer-decoupled CMBC, 5 tracers (slmm_runtests.py:270-277).
@@ -262,7 +262,7 @@ ROWS = [
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders",
                                      "cosinebells",
                                      "correlatedcosinebells", "xyztrig"),
-       method="ir", dmc="f", filter_="qlt", limiter="mn2", d2c=False),
+       method="cdg", dmc="f", filter_="qlt", limiter="mn2", d2c=False),
      D(l2=1.45e-2, cv_gll=6e-14, min=1.495e-8, max=0.956)),
     ("cmbc_es", ":276 ir 5 tracers qlt dmc es",
      D(ne=10, np_=4, nsteps=12, ics=("gaussianhills", "slottedcylinders",
@@ -280,12 +280,12 @@ ROWS = [
     # --- Perturbed-rho tracer consistency (slmm_runtests.py:279-285).
     ("perturb_nondiv", ":280 constant q, perturbed rho, nondivergent",
      D(ne=10, np_=4, nsteps=12, ics=("constant",), ode="nondivergent",
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2",
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2",
        perturb_rho=0.05, d2c=False),
      D(l2=1e-6, cv_gll=5e-14, min=0.42 - 1e-6, max=0.42 + 1e-6)),
     ("perturb_div", ":283 constant q, perturbed rho, divergent",
      D(ne=10, np_=4, nsteps=12, ics=("constant",), ode="divergent",
-       method="ir", dmc="ef", filter_="qlt", limiter="mn2",
+       method="cdg", dmc="ef", filter_="qlt", limiter="mn2",
        perturb_rho=0.05, d2c=False),
      D(l2=1e-6, cv_gll=5e-14, min=0.42 - 1e-6, max=0.42 + 1e-6)),
 ]

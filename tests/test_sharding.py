@@ -158,6 +158,32 @@ def test_designed_sharded_step_comm_fraction():
     assert f60 < 0.62 * f30, (f30, f60)
 
 
+def test_neighbor_exchange_volume_independent_of_n_shards():
+    """The neighbor-wise ppermute exchange ships O(own perimeter) bytes
+    per chip: unlike the old boundary all_gather (whose per-chip receive
+    volume grew as n_shards * max_send), the per-chip received volume must
+    NOT grow with shard count (VERDICT r3 #3; the reference's
+    one-message-per-rank-pair contract, cedr_tree.cpp:185-213)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.halo import HaloMaps
+
+    m = cubed_sphere.build(30, 4)
+    h2 = HaloMaps(m, 2, depth=2)
+    h4 = HaloMaps(m, 4, depth=2)
+    h8 = HaloMaps(m, 8, depth=2)
+    # Per-chip receive volume stays flat (within per-delta padding slack)
+    # as shards multiply: each shard receives only its own halo.
+    assert h8.halo_size <= 1.15 * h2.halo_size, (
+        h2.halo_size, h4.halo_size, h8.halo_size)
+    assert h4.halo_size <= 1.10 * h2.halo_size, (
+        h2.halo_size, h4.halo_size)
+    # The all_gather layout's volume GROWS with shard count - the design
+    # difference this test pins.
+    ag = [h.max_send * h.n_shards for h in (h2, h4, h8)]
+    assert ag[2] > ag[0], ag
+    assert h8.halo_size < 0.45 * ag[2], (h8.halo_size, ag[2])
+
+
 @pytest.mark.parametrize("ncells,ndev", [(96, 2), (96, 8), (108, 4),
                                          (150, 6)])
 def test_sharded_qlt_decomposition_invariant(ncells, ndev):
