@@ -373,7 +373,8 @@ class ShardedIsl:
             (0, 1))                                       # (2, nt, B, np2)
         q_min_node, q_max_node = qmm_n[0], qmm_n[1]
 
-        rhom = F[None] * rho_tgt[None]
+        rhom1 = F * rho_tgt                        # (ncell, np2)
+        rhom = rhom1[None]
         Qc_min = jnp.sum(rhom * q_min_node, axis=-1)
         Qc_max = jnp.sum(rhom * q_max_node, axis=-1)
         Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
@@ -384,16 +385,27 @@ class ShardedIsl:
         delta = redist - Qc_mass
 
         if cfg.limiter != "none":
+            # Hand the limiter the records this CDR already computed
+            # (bitwise-identical expressions; saves ~3 full passes over
+            # the tracer state), and take its mixing-ratio solution
+            # directly - it is already bounds-clipped, so the Q -> q round
+            # trip (x*rho*(1/rho) + re-clip) is pure added rounding
+            # (round-3 CDR+limiter perf ask).
+            Qm_tot = Qc_mass + delta
             lim = jax.vmap(
-                lambda Qi, qmin, qmax, di: limiter_mod.limit_tracer(
-                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter))
-            Q_tgt = lim(Q_tgt, q_min_node, q_max_node, delta)
+                lambda Qi, qmin, qmax, di, qt, qn, qx:
+                limiter_mod.limit_tracer(
+                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter,
+                    precomp=(rhom1, qt, qn, qx), return_q=True))
+            x_q = lim(Q_tgt, q_min_node, q_max_node, delta, Qm_tot,
+                      Qc_min, Qc_max)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node, x_q)
 
-        # One reciprocal per node instead of nt emulated f64 divides.
-        rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
-        q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
-                          Q_tgt * rho_inv[None])
-        q_new = jnp.clip(q_new, q_min_node, q_max_node)
+        if cfg.limiter == "none":
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
+                              Q_tgt * rho_inv[None])
+            q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4)
         return rho_tgt, q_out

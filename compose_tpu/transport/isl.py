@@ -411,44 +411,55 @@ class IslTransport:
         else:
             F, jac_node = self.F, m.jac_node
         dep, ci, w = self._departure_data(ts, tf)
+        node_src_flat = None
 
-        # --- Density transport.
-        if cfg.rho_isl:
-            if cfg.interp_dtype == "f32":
-                # f32 rho interp fast path: the CDR restores rho mass
-                # against the f64 pre-step mass and the [0,2] bounds in
-                # f64, so the invariants are unchanged (same argument as
-                # the tracer interp; f64 gathers are several times slower
-                # on TPU).
-                f32 = jnp.float32
-                ri = self._interp(rho.astype(f32), ci, w.astype(f32))
-                Jdep = self._jacobian_departure(dep)
-                ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
-                rho_tgt = (ratio32 * ri[self.d2c_map].reshape(
-                    m.ncell, m.np2)).astype(jnp.float64)
-            else:
+        # --- Density transport + tracer interpolation.
+        if cfg.interp_dtype == "f32" and cfg.rho_isl:
+            # f32 fast path: the CDR restores mass against the f64
+            # pre-step masses and the bounds in f64, so the invariants are
+            # unchanged; f64 gathers are several times slower on TPU.
+            # ci (as exact small-int f32), the interpolated rho, and the
+            # interpolated tracers share ONE wide-row d2c gather - three
+            # scalar/narrow gathers fused into one (pure copies, so every
+            # downstream value is bitwise what the separate gathers gave).
+            f32 = jnp.float32
+            w32 = w.astype(f32)
+            ri = self._interp(rho.astype(f32), ci, w32)      # (cnn,)
+            qi = self._interp(q.astype(f32), ci, w32)        # (nt, cnn)
+            pack = jnp.concatenate(
+                [ci.astype(f32)[:, None], ri[:, None],
+                 jnp.moveaxis(qi, 0, -1)], axis=1)           # (cnn, nt+2)
+            g = pack[self.d2c_map]                           # (ndgll, nt+2)
+            node_src_flat = g[:, 0].astype(jnp.int32)
+            Jdep = self._jacobian_departure(dep)
+            ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
+            rho_tgt = (ratio32 * g[:, 1].reshape(
+                m.ncell, m.np2)).astype(jnp.float64)
+            q_tgt = jnp.moveaxis(g[:, 2:], -1, 0).astype(
+                jnp.float64).reshape(q.shape[0], m.ncell, m.np2)
+        else:
+            if cfg.rho_isl:
                 rho_interp = self._interp(rho, ci, w)        # (cnn,)
                 Jdep = self._jacobian_departure(dep)         # (ncell, np2)
                 ratio = Jdep.astype(jac_node.dtype) / jac_node
                 rho_tgt = ratio * rho_interp[self.d2c_map].reshape(
                     m.ncell, m.np2)
-        elif rho_tgt_ext is not None:
-            rho_tgt = rho_tgt_ext
-        else:
-            rho_tgt = rho
-
-        # --- Tracer interpolation (all tracers in one gather+einsum).
-        if cfg.interp_dtype == "f32":
-            q_interp = self._interp(
-                q.astype(jnp.float32), ci,
-                w.astype(jnp.float32)).astype(jnp.float64)   # (nt, cnn)
-        else:
-            q_interp = self._interp(q, ci, w)                # (nt, cnn)
-        # Scatter to DGLL slots tracer-innermost: indexing the last axis
-        # of (nt, cnn) gathers scalars; (cnn, nt) rows are nt-wide.
-        q_tgt = jnp.moveaxis(
-            jnp.moveaxis(q_interp, 0, -1)[self.d2c_map], -1, 0).reshape(
-                q.shape[0], m.ncell, m.np2)
+            elif rho_tgt_ext is not None:
+                rho_tgt = rho_tgt_ext
+            else:
+                rho_tgt = rho
+            if cfg.interp_dtype == "f32":
+                q_interp = self._interp(
+                    q.astype(jnp.float32), ci,
+                    w.astype(jnp.float32)).astype(jnp.float64)  # (nt, cnn)
+            else:
+                q_interp = self._interp(q, ci, w)            # (nt, cnn)
+            # Scatter to DGLL slots tracer-innermost: indexing the last
+            # axis of (nt, cnn) gathers scalars; (cnn, nt) rows are
+            # nt-wide.
+            q_tgt = jnp.moveaxis(
+                jnp.moveaxis(q_interp, 0, -1)[self.d2c_map], -1, 0).reshape(
+                    q.shape[0], m.ncell, m.np2)
 
         if cfg.filter == "none":
             rho_out = (self._dss(rho_tgt, F) if cfg.rho_isl else rho_tgt)
@@ -523,7 +534,8 @@ class IslTransport:
                                    q_min_cell)
             q_max_cell = jnp.where(fuse, jnp.maximum(q_max_cell, fmax),
                                    q_max_cell)
-        node_src_cell = ci[self.d2c_map].reshape(m.ncell, m.np2)
+        node_src_cell = (node_src_flat if node_src_flat is not None
+                         else ci[self.d2c_map]).reshape(m.ncell, m.np2)
         # Tracer-innermost bounds gather (wide rows; see q_tgt above).
         qmm = jnp.stack([q_min_cell, q_max_cell])            # (2, nt, ncell)
         qmm_n = jnp.moveaxis(
@@ -551,7 +563,8 @@ class IslTransport:
             return rho_tgt, q_out
 
         # Per-cell records (nt-batched).
-        rhom = F[None] * rho_tgt[None]
+        rhom1 = F * rho_tgt                        # (ncell, np2)
+        rhom = rhom1[None]
         Qc_min = jnp.sum(rhom * q_min_node, axis=-1)
         Qc_max = jnp.sum(rhom * q_max_node, axis=-1)
         Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
@@ -562,18 +575,29 @@ class IslTransport:
         delta = redist - Qc_mass                             # (nt, ncell)
 
         if cfg.limiter != "none":
+            # Hand the limiter the records this CDR already computed
+            # (bitwise-identical expressions; saves ~3 full passes over
+            # the tracer state), and take its mixing-ratio solution
+            # directly - it is already bounds-clipped, so the Q -> q round
+            # trip (x*rho*(1/rho) + re-clip) is pure added rounding
+            # (round-3 CDR+limiter perf ask).
+            Qm_tot = Qc_mass + delta
             lim = jax.vmap(
-                lambda Qi, qmin, qmax, di: limiter_mod.limit_tracer(
-                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter))
-            Q_tgt = lim(Q_tgt, q_min_node, q_max_node, delta)
+                lambda Qi, qmin, qmax, di, qt, qn, qx:
+                limiter_mod.limit_tracer(
+                    F, rho_tgt, Qi, qmin, qmax, di, limiter=cfg.limiter,
+                    precomp=(rhom1, qt, qn, qx), return_q=True))
+            x_q = lim(Q_tgt, q_min_node, q_max_node, delta, Qm_tot,
+                      Qc_min, Qc_max)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node, x_q)
 
-        # Q -> q with zero-density guard and numerical-noise clip
-        # (:1429-1452).
-        # One reciprocal per node instead of nt emulated f64 divides.
-        rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
-        q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
-                          Q_tgt * rho_inv[None])
-        q_new = jnp.clip(q_new, q_min_node, q_max_node)
+        # limiter='none': Q -> q with zero-density guard and
+        # numerical-noise clip (:1429-1452).
+        if cfg.limiter == "none":
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
+                              Q_tgt * rho_inv[None])
+            q_new = jnp.clip(q_new, q_min_node, q_max_node)
 
         # --- DSS for tracers (mixing-ratio form; slmmir.cpp:1335-1339).
         if rho_tgt_ext is not None:

@@ -237,9 +237,11 @@ def limit_density(F, rho, extra_mass, limiter: str = "mn2"):
     return jnp.where(need[..., None], out, rho)
 
 
-@partial(jax.jit, static_argnames=("limiter", "expand_bounds_allowed"))
+@partial(jax.jit, static_argnames=("limiter", "expand_bounds_allowed",
+                                   "return_q"))
 def limit_tracer(F, rho, Q, q_min, q_max, Qm_extra,
-                 limiter: str = "caas", expand_bounds_allowed: bool = False):
+                 limiter: str = "caas", expand_bounds_allowed: bool = False,
+                 precomp=None, return_q: bool = False):
     """Bounds-preserving tracer-mass limiter with per-node bounds
     (slmmir_mono_data.cpp:299-361).
 
@@ -250,12 +252,21 @@ def limit_tracer(F, rho, Q, q_min, q_max, Qm_extra,
     with w = a = F*rho, y = Q/rho, Qm_tot = sum(F*Q) + Qm_extra,
     expanding bounds first if the cell problem is infeasible (and allowed).
     Returns adjusted Q.
+
+    `precomp`: optional (rhom, Qm_tot, Qm_min, Qm_max) computed by the
+    caller (the ISL CDR records these exact expressions already -
+    commutative-identical products/sums, so passing them is bitwise
+    neutral and saves ~3 full passes over the tracer state).
     """
-    rhom = rho * F                       # per-node masses
-    rhom_tot = jnp.sum(rhom, axis=-1)
-    Qm_tot = jnp.sum(Q * F, axis=-1) + Qm_extra
-    Qm_min = jnp.sum(q_min * rhom, axis=-1)
-    Qm_max = jnp.sum(q_max * rhom, axis=-1)
+    if precomp is not None:
+        rhom, Qm_tot, Qm_min, Qm_max = precomp
+        rhom_tot = jnp.sum(rhom, axis=-1)
+    else:
+        rhom = rho * F                       # per-node masses
+        rhom_tot = jnp.sum(rhom, axis=-1)
+        Qm_tot = jnp.sum(Q * F, axis=-1) + Qm_extra
+        Qm_min = jnp.sum(q_min * rhom, axis=-1)
+        Qm_max = jnp.sum(q_max * rhom, axis=-1)
 
     lo = Qm_tot < Qm_min
     hi = Qm_tot > Qm_max
@@ -271,8 +282,18 @@ def limit_tracer(F, rho, Q, q_min, q_max, Qm_extra,
     tiny = 1e-300
     a = jnp.maximum(rhom, tiny)
     w = a
-    y = Q / jnp.where(rho == 0, 1.0, rho)
+    # One reciprocal then multiply: under vmap over tracers, rho carries
+    # no batch axis, so the reciprocal is computed once while Q/rho would
+    # be nt emulated-f64 divides per node (~50 ops each on TPU).
+    y = Q * (1.0 / jnp.where(rho == 0, 1.0, rho))
     x = _spf_run(limiter, w, a, Qm_tot, q_min, q_max, y)
+    if return_q:
+        # The solvers work in mixing-ratio space and every branch clips or
+        # corner-selects within [q_min, q_max]; returning x directly lets
+        # the ISL CDR skip the Q -> q round trip (x*rho*(1/rho) + re-clip),
+        # which only adds rounding (slmmir_remapper_isl.cpp:1429-1452's
+        # clip exists purely to scrub that roundoff).
+        return x
     return x * rho
 
 

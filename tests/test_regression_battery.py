@@ -125,28 +125,27 @@ ROWS = [
     ("ir_np3", ":179 ir np3 (no d2c)",
      D(ne=10, np_=3, nsteps=12, ics=GH, method="ir", filter_="none",
        limiter="none", d2c=False),
-     D(l2=2.43e-2, cv=1e-13)),   # ref cv 1e-14; clip quadrature here is
-                                 # watertight to ~1e-13 at np3's order
+     D(l2=2.43e-2, cv=1e-14)),
     ("ir_np3_qlt", ":180 ir np3 xyz qlt",
      D(ne=10, np_=3, nsteps=12, ics=GH, method="ir", filter_="qlt",
        limiter="mn2", d2c=False),
-     D(l2=3.18e-2, cv=1e-13, min=1.495e-08, max=9.518e-01)),
+     D(l2=3.18e-2, cv=4e-15, min=1.495e-08, max=9.518e-01)),
     ("ir_np3_caas", ":181 ir np3 xyz caas",
      D(ne=10, np_=3, nsteps=12, ics=GH, method="ir", filter_="caas",
        limiter="mn2", d2c=False),
-     D(l2=3.18e-2, cv=1e-13, min=1.495e-08, max=9.518e-01)),
+     D(l2=3.18e-2, cv=4e-15, min=1.495e-08, max=9.518e-01)),
     ("ir_np3_mn2", ":182 ir np3 xyz mn2",
      D(ne=10, np_=3, nsteps=12, ics=GH, method="ir", filter_="mn2",
        limiter="mn2", d2c=False),
-     D(l2=3.18e-2, cv=1e-13, min=1.495e-08, max=9.518e-01)),
+     D(l2=3.18e-2, cv=4e-15, min=1.495e-08, max=9.518e-01)),
     ("ir_np3_d2c", ":184 ir np3 xyz d2c",
      D(ne=10, np_=3, nsteps=12, ics=GH, method="ir", filter_="none",
        limiter="none"),
-     D(l2=3.64e-2, cv=1e-13)),
+     D(l2=3.64e-2, cv=3e-15)),
     ("cdg_np4_d2c", ":186 cdg np4 xyz d2c",
      D(ne=10, np_=4, nsteps=12, ics=GH, method="cdg", filter_="none",
        limiter="none"),
-     D(l2=1.02e-2, cv=3.5e-14)),  # ref 3.5e-15
+     D(l2=1.02e-2, cv=3.5e-15)),
 
     # --- Limiter (slmm_runtests.py:189-196).
     ("ir_qlt_limcaas", ":191 ir qlt lim caas",
