@@ -51,9 +51,11 @@ def _tree_spans(t):
 class ShardedQLT:
     """QLT over `ncells` leaves block-sharded across `n_shards` devices.
 
-    Supports the sum-combining problem types (SHAPEPRESERVE, NONNEGATIVE,
-    each optionally | CONSERVE) - the types the transport step uses. The
-    dynamic-range (consistent-only) types stay on the single-chip path.
+    Supports every problem type the single-chip QLT does: the
+    sum-combining types (SHAPEPRESERVE, NONNEGATIVE, each optionally
+    | CONSERVE) and the dynamic-range (consistent-only) types, whose
+    bound channels combine via min/max on the l2r sweep and broadcast the
+    ROOT's q bounds down the r2l sweep (cedr_qlt.cpp:341-387,490-565).
     """
 
     def __init__(self, ncells: int, n_shards: int,
@@ -62,9 +64,6 @@ class ShardedQLT:
         assert ncells % n_shards == 0, (ncells, n_shards)
         assert n_shards >= 2, "use cdr.qlt.QLT for a single shard"
         pt = problem_type
-        if (pt & CONSISTENT) and not (pt & SHAPEPRESERVE):
-            raise NotImplementedError(
-                "dynamic-range types are single-chip only")
         self.ncells = ncells
         self.n_shards = n_shards
         self.problem_type = pt
@@ -186,8 +185,14 @@ class ShardedQLT:
             l2r_min, l2r_max = Qm, Qm
         elif pt & SHAPEPRESERVE:
             l2r_min, l2r_max = Qm_min, Qm_max
+        elif pt & CONSISTENT:
+            # Dynamic range: leaf bound channels carry q = Qm/rhom
+            # (cedr_qlt_inl.hpp:46-58); combined via min/max below.
+            l2r_min, l2r_max = Qm_min / rhom, Qm_max / rhom
         else:
             raise ValueError("invalid problem type")
+        sum_bounds = bool(pt & SHAPEPRESERVE) or bool(pt & NONNEGATIVE)
+        dynamic_range = bool(pt & CONSISTENT) and not (pt & SHAPEPRESERVE)
 
         L = self.loc_size
         W_rho = jnp.zeros((L,), dtype).at[:B].set(rhom)
@@ -203,13 +208,29 @@ class ShardedQLT:
                            V[..., jnp.maximum(k1, 0)])
             return v0 + v1
 
+        def comb_min(V, k0, k1):
+            v0 = V[..., k0]
+            v1 = jnp.where(k1 < 0, v0, V[..., jnp.maximum(k1, 0)])
+            return jnp.minimum(v0, v1)
+
+        def comb_max(V, k0, k1):
+            v0 = V[..., k0]
+            v1 = jnp.where(k1 < 0, v0, V[..., jnp.maximum(k1, 0)])
+            return jnp.maximum(v0, v1)
+
+        def comb_bounds(Vmin, Vmax, k0, k1):
+            if sum_bounds:
+                return comb_sum(Vmin, k0, k1), comb_sum(Vmax, k0, k1)
+            return comb_min(Vmin, k0, k1), comb_max(Vmax, k0, k1)
+
         # ---- Local l2r over this shard's subtrees.
         for lids, lk0, lk1 in self.local_levels:
             ids, k0, k1 = lids[s], lk0[s], lk1[s]
             W_rho = W_rho.at[ids].set(comb_sum(W_rho, k0, k1))
-            W_min = W_min.at[:, ids].set(comb_sum(W_min, k0, k1))
+            bmn, bmx = comb_bounds(W_min, W_max, k0, k1)
+            W_min = W_min.at[:, ids].set(bmn)
+            W_max = W_max.at[:, ids].set(bmx)
             W_Qm = W_Qm.at[:, ids].set(comb_sum(W_Qm, k0, k1))
-            W_max = W_max.at[:, ids].set(comb_sum(W_max, k0, k1))
             if pt & CONSERVE:
                 W_prev = W_prev.at[:, ids].set(comb_sum(W_prev, k0, k1))
 
@@ -236,9 +257,10 @@ class ShardedQLT:
         # ---- Top l2r (replicated; < 2*n_shards nodes).
         for tids, tk0, tk1 in self.top_levels:
             T_rho = T_rho.at[tids].set(comb_sum(T_rho, tk0, tk1))
-            T_min = T_min.at[:, tids].set(comb_sum(T_min, tk0, tk1))
+            bmn, bmx = comb_bounds(T_min, T_max, tk0, tk1)
+            T_min = T_min.at[:, tids].set(bmn)
+            T_max = T_max.at[:, tids].set(bmx)
             T_Qm = T_Qm.at[:, tids].set(comb_sum(T_Qm, tk0, tk1))
-            T_max = T_max.at[:, tids].set(comb_sum(T_max, tk0, tk1))
             if pt & CONSERVE:
                 T_prev = T_prev.at[:, tids].set(comb_sum(T_prev, tk0, tk1))
 
@@ -248,16 +270,29 @@ class ShardedQLT:
         if root_extra is not None:
             M_root = M_root + root_extra
         M_top = jnp.zeros((nt, TS), dtype).at[:, root].set(M_root)
+        # Dynamic range: every node QP sees the ROOT's global q bounds
+        # (r2l_solve_qp_set_q, cedr_qlt.cpp:490-565), known replicated
+        # after the top l2r.
+        if dynamic_range:
+            qmin_g = T_min[:, root][:, None]
+            qmax_g = T_max[:, root][:, None]
 
         def r2l(levels, M, V_rho, V_min, V_Qm, V_max):
+            def bounds_at(idx):
+                if dynamic_range:
+                    shape = (nt,) + idx.shape
+                    return (jnp.broadcast_to(qmin_g, shape),
+                            jnp.broadcast_to(qmax_g, shape))
+                return V_min[:, idx], V_max[:, idx]
+
             for ids, k0, k1 in reversed(levels):
-                pd = jnp.stack([V_min[:, ids], V_Qm[:, ids], V_max[:, ids]],
-                               axis=-1)
+                bmin, bmax = bounds_at(ids)
+                pd = jnp.stack([bmin, V_Qm[:, ids], bmax], axis=-1)
                 k1s = jnp.maximum(k1, 0)
-                k0d = jnp.stack([V_min[:, k0], V_Qm[:, k0], V_max[:, k0]],
-                                axis=-1)
-                k1d = jnp.stack([V_min[:, k1s], V_Qm[:, k1s],
-                                 V_max[:, k1s]], axis=-1)
+                bmin0, bmax0 = bounds_at(k0)
+                bmin1, bmax1 = bounds_at(k1s)
+                k0d = jnp.stack([bmin0, V_Qm[:, k0], bmax0], axis=-1)
+                k1d = jnp.stack([bmin1, V_Qm[:, k1s], bmax1], axis=-1)
                 Qm_node = M[:, ids]
                 rhom_n = jnp.broadcast_to(V_rho[ids], Qm_node.shape)
                 rhom0 = jnp.broadcast_to(V_rho[k0], Qm_node.shape)

@@ -54,6 +54,29 @@ def caas(a, b, xlo, xhi, y, clip: bool = True):
     return x
 
 
+def caas_gsum(a, b, xlo, xhi, y, gsum, clip: bool = True):
+    """`caas` with a caller-supplied global sum over the last axis.
+
+    The single chip passes the fixed-tree bfb_sum; a shard_map caller
+    passes the distributed BFB tree reducer (cdr/bfb.py), which is
+    bitwise-equal on contiguous blocks - so one formulation serves the
+    single-chip and sharded caas-node paths identically
+    (glbl_only_lcldyn, slmmir_remapper_isl.cpp:389-445).
+    """
+    x = jnp.clip(y, xlo, xhi)
+    dm = b - gsum(a * x)
+    fac_hi = gsum(a * (xhi - x))
+    fac_lo = gsum(a * (x - xlo))
+    up = dm > 0
+    fac = jnp.where(up, fac_hi, fac_lo)
+    scale = jnp.where(fac > 0, dm / jnp.where(fac > 0, fac, 1.0), 0.0)
+    dirn = jnp.where(up[..., None], xhi - x, x - xlo)
+    x = x + scale[..., None] * dirn
+    if clip:
+        x = jnp.clip(x, xlo, xhi)
+    return x
+
+
 def solve_1eq_bc_qp(w, a, b, xlo, xhi, y, max_its: int = 50):
     """Single-equality bound-constrained QP via bisection-safeguarded Newton
     on the Lagrange multiplier (cedr_local_inl.hpp:167-270).

@@ -55,17 +55,21 @@ class ShardedIsl:
     Wraps a single-chip IslTransport model: all static mesh/basis data is
     reused; the step body is re-expressed as a shard_map program with
     explicit halo exchange. Supported configs: filter in
-    {caas, qlt, none}, any cell-local limiter, rho_isl on/off,
-    positive_only, f32/f64 geometry+interp, timeint exact/line, uniform
-    meshes. (caas-node and mn2 redistribute over all cells at node
-    granularity inside their solves and stay on the single-chip/GSPMD
-    path; nonuniform meshes would only change `locate`.)
+    {caas, qlt, mn2, caas-node, none}, any cell-local limiter, rho_isl
+    on/off, positive_only, f32/f64 geometry+interp, timeint exact/line,
+    uniform meshes (nonuniform meshes would only change `locate`).
+    caas-node runs its node-granularity CAAS through the distributed BFB
+    reducer (bitwise-equal to the single chip's bfb_sum form); mn2
+    all_gathers the O(ncell) per-cell records and solves its global
+    n-dim QP replicated - the reference's own scale tradeoff (4 scalars
+    per cell per tracer, VERDICT r3 #5 / cedr_caas.cpp:203-209).
     """
 
     def __init__(self, model, n_shards: int, depth: int = 2, mesh_dev=None):
         cfg = model.config
         m = model.mesh
-        assert cfg.filter in ("caas", "qlt", "none"), cfg.filter
+        assert cfg.filter in ("caas", "qlt", "none", "caas-node",
+                              "mn2"), cfg.filter
         assert not m.nonuni and not m.is_subcell
         assert cfg.timeint in ("exact", "line"), cfg.timeint
         assert model.fitext is None, "-fitext: single-chip path only"
@@ -182,6 +186,19 @@ class ShardedIsl:
         if self.cfg.filter == "caas":
             return spf.glbl_caas_gsum(Q_min, Q_mass, Q_max, extra,
                                       self._gsum_cells)
+        if self.cfg.filter == "mn2":
+            # Replicated global n-dim QP over gathered per-cell records
+            # (O(ncell) scalars << state); slice out the local block.
+            s = jax.lax.axis_index("cells")
+
+            def gath(v):
+                g = jax.lax.all_gather(v, "cells", axis=v.ndim - 1)
+                return g.reshape(v.shape[:-1] + (-1,))
+
+            out = spf.run_mn2(gath(Q_min), gath(Q_mass), gath(Q_max),
+                              extra)
+            return jax.lax.dynamic_slice_in_dim(
+                out, s * self.B, self.B, axis=out.ndim - 1)
         squeeze = Q_mass.ndim == 1
         Qm = jnp.atleast_2d(Q_mass)
         out = self.sqlt.run(rho_mass, Qm, jnp.atleast_2d(Q_min),
@@ -327,7 +344,15 @@ class ShardedIsl:
             return rho_out, q_out
 
         # --- CDR for rho.
-        if cfg.rho_isl:
+        if cfg.rho_isl and cfg.filter == "caas-node":
+            # Uniform mass restoration (glbl_only_pve,
+            # slmmir_remapper_isl.cpp:366-387), distributed gsum form.
+            mass_src = self._gsum_slots(Ff * rho.reshape(-1))
+            mass_tgt = self._gsum_slots(Ff * rho_tgt.reshape(-1))
+            rho_tgt = rho_tgt + (mass_src - mass_tgt) \
+                / self._gsum_slots(Ff)
+            rho_tgt = self._dss_rho_blk(rho_tgt, eslots4, mask4, F4)
+        elif cfg.rho_isl:
             mass_src = self._gsum_slots(Ff * rho.reshape(-1))
             mass_tgt = self._gsum_slots(Ff * rho_tgt.reshape(-1))
             rho_mass, R_min, R_mass, R_max = spf.record(
@@ -372,6 +397,26 @@ class ShardedIsl:
             jnp.moveaxis(qmm, (0, 1), (-2, -1))[node_src], (-2, -1),
             (0, 1))                                       # (2, nt, B, np2)
         q_min_node, q_max_node = qmm_n[0], qmm_n[1]
+
+        if cfg.filter == "caas-node":
+            # Node-granularity global CAAS (glbl_only_lcldyn,
+            # slmmir_remapper_isl.cpp:389-445): identical arithmetic to
+            # the single chip's caas_gsum-with-bfb_sum form, with the
+            # distributed BFB reducer as the gsum.
+            from ..ops import local_qp
+            lo = (q_min_node * rho_tgt[None]).reshape(nt, -1)
+            hi = (q_max_node * rho_tgt[None]).reshape(nt, -1)
+            aF = jnp.broadcast_to(Ff[None], lo.shape)
+            Qf = local_qp.caas_gsum(aF, Q_mass_src, lo, hi,
+                                    Q_tgt.reshape(nt, -1),
+                                    gsum=self._gsum_slots)
+            Q_tgt = Qf.reshape(Q_tgt.shape)
+            rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
+            q_new = jnp.where(rho_tgt[None] == 0, q_min_node,
+                              Q_tgt * rho_inv[None])
+            q_new = jnp.clip(q_new, q_min_node, q_max_node)
+            q_out = self._dss_q_blk(rho_tgt, q_new, eslots4, mask4, F4)
+            return rho_tgt, q_out
 
         rhom1 = F * rho_tgt                        # (ncell, np2)
         rhom = rhom1[None]

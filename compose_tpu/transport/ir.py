@@ -56,6 +56,73 @@ from ..ops import clip, sphere, sqr
 from ..ops.reduce import bfb_sum
 from . import dss, limiter as limiter_mod, spf, timeint
 
+def apply_T_contrib(T, xs):
+    """contrib[..., p, a] = sum_b T[p, a, b] xs[..., p, b], as an
+    explicitly left-to-right associated elementwise chain (NOT einsum:
+    dot_general's reduction association depends on the batch shape, and
+    the sharded step evaluates the same pairs with a different batch -
+    this form is bitwise identical for any pair-axis length)."""
+    np2 = T.shape[-1]
+    acc = T[:, :, 0] * xs[..., 0][..., None]
+    for b in range(1, np2):
+        acc = acc + T[:, :, b] * xs[..., b][..., None]
+    return acc
+
+
+def dot_last(a, b):
+    """sum_i a[..., i] b[..., i] as an explicit left-to-right chain (the
+    batch-shape-stable replacement for einsum/jnp.sum contractions shared
+    by the single-chip and sharded per-cell solvers)."""
+    acc = a[..., 0] * b[..., 0]
+    for i in range(1, a.shape[-1]):
+        acc = acc + a[..., i] * b[..., i]
+    return acc
+
+
+def mass_solve_blk(L, y):
+    """Per-cell M^{-1} y via Cholesky factors L (nc, np2, np2); y
+    (..., nc, np2); batched over leading dims."""
+    yy = jnp.moveaxis(y, -2, 0)
+    sol = jax.vmap(
+        lambda Lc, yc: jax.scipy.linalg.cho_solve(
+            (Lc, True), yc.reshape(-1, yc.shape[-1]).T).T.reshape(
+                yc.shape))(L, yy)
+    return jnp.moveaxis(sol, 0, -2)
+
+
+def solve_1eq_ls_blk(L, y, c, d):
+    """Equality-constrained per-cell solve (FullMassMatrix::solve_1eq_ls,
+    slmmir_remap_data.cpp:78-116) on a block of cells; shared by the
+    single-chip and sharded paths (explicitly-associated contractions so
+    both round identically for any block size)."""
+    lower = partial(jax.scipy.linalg.solve_triangular, lower=True)
+    s = jax.vmap(lambda Lc, cc: lower(Lc, cc))(L, c)      # L s = c
+    a1 = jax.vmap(
+        lambda Lc, yc: lower(Lc, yc.reshape(-1, yc.shape[-1]).T).T.reshape(
+            yc.shape))(L, jnp.moveaxis(y, -2, 0))
+    a1m = jnp.moveaxis(a1, 0, -2)
+    a2 = d - dot_last(jnp.broadcast_to(s, a1m.shape), a1m)
+    s2 = dot_last(s, s)
+    mu = a2 / s2
+    x1 = a1m + mu[..., None] * s
+    upperT = partial(jax.scipy.linalg.solve_triangular, lower=True,
+                     trans='T')
+    x = jax.vmap(
+        lambda Lc, xc: upperT(Lc, xc.reshape(-1, xc.shape[-1]).T).T.reshape(
+            xc.shape))(L, jnp.moveaxis(x1, -2, 0))
+    return jnp.moveaxis(x, 0, -2)
+
+
+def mass_target_terms(ps, F_src, xs):
+    """dp[..., p] = sum_i ps[p, i] F_src[p, i] xs[..., p, i], explicitly
+    associated (see apply_T_contrib)."""
+    w = ps * F_src
+    acc = w[:, 0] * xs[..., 0]
+    for i in range(1, w.shape[-1]):
+        acc = acc + w[:, i] * xs[..., i]
+    return acc
+
+
 _EQ_LOCAL = ("es", "eh", "ef")       # Dmc::is_locally_constrained
 _FACET = ("f", "ef")                 # Dmc::is_facet
 _HOMME_MASS = ("eh", "geh", "f", "ef")   # Dmc::use_homme_mass
@@ -70,7 +137,11 @@ class IrConfig:
     filter: str = "none"         # global CDR: qlt | caas | mn2 | none
     limiter: str = "mn2"
     nsub: int = 8
-    pair_chunks: int = 16        # lax.map chunks over (tgt, cand) pairs
+    # Fixed lax.map chunk SIZE over (tgt, cand) pairs. A fixed size (not a
+    # fixed chunk COUNT) keeps the per-chunk einsum shapes identical
+    # between the single-chip and cell-sharded assemblies, which keeps the
+    # nq-contraction lowering - and therefore the bits - identical.
+    pair_chunk: int = 1024
     # Triangle-quadrature order for the T fill (-tq, slmmir.cpp:30-32;
     # default None = accuracy-matched order per np, 4 = the reference's
     # reduced-quadrature regression rows, slmm_runtests.py:244-265).
@@ -108,7 +179,14 @@ class IrTransport:
         self._remap_rho_jit = None
 
     def step(self, rho, q, ts, tf):
-        return self._step(rho, q, ts, tf)
+        # Divisor-ish mesh tables (F_mass, F_sphere, Jt) ride as runtime
+        # operands, NOT closed-over constants: XLA folds multiplies/
+        # divides by constants (e.g. x/Jt -> x * (1/Jt)) and the sharded
+        # step necessarily receives its blocks as operands - threading
+        # them here keeps the two programs bitwise identical (same
+        # contract as IslTransport.step's mesh_tables).
+        tables = (self.F_mass, self.F_sphere, self.ird.Jt)
+        return self._step(rho, q, ts, tf, mesh_tables=tables)
 
     def remap_rho(self, rho, ts, tf):
         """Density-only cell-integrated remap (+ positivity limiter) - the
@@ -120,16 +198,18 @@ class IrTransport:
     def _remap_rho_impl(self, rho, ts, tf):
         cfg = self.config
         m = self.mesh
+        tables = (self.F_mass, self.F_sphere, self.ird.Jt)
         adv_vert = timeint.integrate(
             self.wind.velocity, ts, tf, self.ird.vert_xyz, cfg.nsub)
         adv_cells = adv_vert[self.ird.cell2vert]
         pair_src, pair_tgt, pair_mask = self._pairs(adv_cells)
-        T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
+        T, ps_raw = self._assemble_T(adv_cells, pair_src, pair_tgt,
+                                     pair_mask)
         FsmoFtm = (self._fsmoftm(adv_cells, T, pair_src)
                    if cfg.method == "ir" else jnp.ones_like(rho))
         ps = self._normalize_ps(ps_raw, pair_src)
         rho_tgt = self._project(T, ps, pair_src, pair_tgt, pair_mask,
-                                rho, FsmoFtm)
+                                rho, FsmoFtm, tables)
         return limiter_mod.limit_density(
             self.F_mass, rho_tgt, jnp.zeros(m.ncell))
 
@@ -152,13 +232,22 @@ class IrTransport:
         pair_mask = ird.cands_mask[land].reshape(-1)
         return pair_src, pair_tgt, pair_mask
 
-    def _assemble_T(self, adv_vert, pair_src, pair_tgt, pair_mask):
+    def _assemble_T(self, adv_cells, pair_src, pair_tgt, pair_mask,
+                    src_corners=None):
         """Build per-pair T blocks (npair, np2, np2) and src-share integrals
-        p_s_ol (npair, np2) from advected vertices."""
+        p_s_ol (npair, np2) from advected source cells.
+
+        adv_cells: (nsrc, 4, 3) advected corner quads; pair_src indexes
+        INTO adv_cells (global cell ids on the single chip, ext-local
+        sorted ids on a shard); pair_tgt is always a GLOBAL Eulerian cell
+        id (target geometry is static). `src_corners` (nsrc, 4, 3) are the
+        EULERIAN corners of each source (defaults to mesh.corners; a shard
+        passes its ext-sorted gather) - the CDG Jacobian ratio needs them."""
         m, ird, cfg = self.mesh, self.ird, self.config
+        if src_corners is None:
+            src_corners = m.corners
         ncell, np2 = m.ncell, m.np2
         euler_v = ird.vert_xyz[ird.cell2vert]            # (ncell, 4, 3)
-        adv_cells = adv_vert[ird.cell2vert]              # (ncell, 4, 3)
 
         tgt_idx = pair_tgt
         src_idx = pair_src
@@ -266,7 +355,7 @@ class IrTransport:
                     # CDG: Jacobian ratio Euler/advected at the src ref
                     # coords (fill_T_fwd_sphere, :430-432).
                     je = sqr.bilinear_jacobian_norm(
-                        m.corners[sci][..., None, :, :], sa, sb)
+                        src_corners[sci][..., None, :, :], sa, sb)
                     ja = sqr.bilinear_jacobian_norm(
                         src_v[..., None, :, :], sa, sb)
                     d0 = d0 * (je / ja)
@@ -283,22 +372,23 @@ class IrTransport:
                 ps = ps + jnp.einsum('bq,bqc->bc', d0, sphi)
             return T, ps
 
-        # Chunked map over pairs.
+        # Chunked map over pairs (fixed chunk SIZE; see IrConfig.pair_chunk).
         P = tgt_idx.shape[0]
-        C = self.config.pair_chunks
-        pad = (-P) % C
+        B = self.config.pair_chunk
+        C = -(-P // B)
+        pad = C * B - P
         def pad_to(x, fill):
             return jnp.concatenate(
                 [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
-        ti = pad_to(tgt_idx, 0).reshape(C, -1)
-        si = pad_to(src_idx, 0).reshape(C, -1)
-        pm = pad_to(pair_mask, False).reshape(C, -1)
+        ti = pad_to(tgt_idx, 0).reshape(C, B)
+        si = pad_to(src_idx, 0).reshape(C, B)
+        pm = pad_to(pair_mask, False).reshape(C, B)
         Tc, psc = jax.lax.map(pair_fn, (ti, si, pm))
         T = Tc.reshape(-1, np2, np2)[:P]
         ps = psc.reshape(-1, np2)[:P]
         return T, ps
 
-    def _fsmoftm(self, adv_cells, T=None, pair_src=None):
+    def _fsmoftm(self, adv_cells, T=None, pair_src=None, F_sphere=None):
         """IR density factor: Eulerian / advected source basis integrals
         per DGLL node (slmmir_remapper.cpp:751-757). Facet variant
         (:734-750): advected integral = T column sum; Eulerian integral =
@@ -313,7 +403,8 @@ class IrTransport:
         F_adv = cubed_sphere._dgbfi_sphere(
             adv_cells, self.ird.tq_bary, self.ird.tq_w, m.np_
         ).reshape(m.ncell, m.np2)
-        return self.F_sphere / F_adv
+        F_sphere = self.F_sphere if F_sphere is None else F_sphere
+        return F_sphere / F_adv
 
     def _normalize_ps(self, ps_raw, pair_src):
         """Normalize p_s_ol columns to source shares (finish_p_s_ol,
@@ -323,14 +414,18 @@ class IrTransport:
         cs = colsum[pair_src]
         return ps_raw / jnp.where(cs == 0, 1.0, cs)
 
-    def _apply_T(self, T, pair_src, pair_tgt, pair_mask, x):
+    def _apply_T(self, T, pair_src, pair_tgt, pair_mask, x,
+                 num_segments=None):
         """y_tgt = sum over pairs with this target of T_pair @ x[src]
         (batched over leading tracer dims of x: (..., ncell, np2))."""
         xs = x[..., pair_src, :]                       # (..., P, np2)
         xs = jnp.where(pair_mask[..., None], xs, 0.0)
-        contrib = jnp.einsum('pab,...pb->...pa', T, xs)
+        contrib = apply_T_contrib(T, xs)
         cm = jnp.moveaxis(contrib, -2, 0)              # (P, ..., np2)
-        y = jax.ops.segment_sum(cm, pair_tgt, num_segments=self.mesh.ncell)
+        y = jax.ops.segment_sum(
+            cm, pair_tgt,
+            num_segments=(self.mesh.ncell if num_segments is None
+                          else num_segments))
         return jnp.moveaxis(y, 0, -2)
 
     def _chol(self):
@@ -345,36 +440,14 @@ class IrTransport:
     def _mass_solve(self, y):
         """Per-cell M^{-1} y via the precomputed Cholesky factors; batched
         over leading dims of y (..., ncell, np2)."""
-        L = self._chol()
-        yy = jnp.moveaxis(y, -2, 0)  # (ncell, ..., np2)
-        sol = jax.vmap(
-            lambda Lc, yc: jax.scipy.linalg.cho_solve(
-                (Lc, True), yc.reshape(-1, yc.shape[-1]).T).T.reshape(
-                    yc.shape))(L, yy)
-        return jnp.moveaxis(sol, 0, -2)
+        return mass_solve_blk(self._chol(), y)
 
     def _solve_1eq_ls(self, y, c, d):
-        """Equality-constrained per-cell solve (FullMassMatrix::solve_1eq_ls,
-        slmmir_remap_data.cpp:78-116): minimize ||L^{-T}(...)|| s.t.
-        c' x = d, where M = L L'. y: (..., ncell, np2) RHS (= T src);
-        c: (ncell, np2) constraint vector (dgbfi_mass; divided by Jt in the
-        facet case, init_dgbfi_mass :250-256); d: (..., ncell)."""
-        L = self._chol()
-        lower = partial(jax.scipy.linalg.solve_triangular, lower=True)
-        s = jax.vmap(lambda Lc, cc: lower(Lc, cc))(L, c)      # L s = c
-        a1 = jax.vmap(
-            lambda Lc, yc: lower(Lc, yc.reshape(-1, yc.shape[-1]).T).T.reshape(
-                yc.shape))(L, jnp.moveaxis(y, -2, 0))
-        a2 = d - jnp.einsum('ti,...ti->...t', s, jnp.moveaxis(a1, 0, -2))
-        s2 = jnp.sum(s * s, axis=-1)
-        mu = a2 / s2
-        x1 = jnp.moveaxis(a1, 0, -2) + mu[..., None] * s
-        upperT = partial(jax.scipy.linalg.solve_triangular, lower=True,
-                         trans='T')
-        x = jax.vmap(
-            lambda Lc, xc: upperT(Lc, xc.reshape(-1, xc.shape[-1]).T).T.reshape(
-                xc.shape))(L, jnp.moveaxis(x1, -2, 0))
-        return jnp.moveaxis(x, 0, -2)
+        """Equality-constrained per-cell solve (see solve_1eq_ls_blk).
+        y: (..., ncell, np2) RHS (= T src); c: (ncell, np2) constraint
+        vector (dgbfi_mass; divided by Jt in the facet case,
+        init_dgbfi_mass slmmir_remap_data.cpp:250-256); d: (..., ncell)."""
+        return solve_1eq_ls_blk(self._chol(), y, c, d)
 
     def _solve_glbl_eq(self, y, x_src):
         """Single GLOBAL mass equality constraint (dmc geh; RemapData::remap,
@@ -400,57 +473,64 @@ class IrTransport:
                 xc.shape))(L, jnp.moveaxis(z, -2, 0))
         return jnp.moveaxis(x, 0, -2)
 
-    def _project(self, T, ps, pair_src, pair_tgt, pair_mask, x, FsmoFtm):
+    def _project(self, T, ps, pair_src, pair_tgt, pair_mask, x, FsmoFtm,
+                 tables=None):
         """remap_cell / remap (slmmir_remap_data.cpp:333-406) for one field
         batch x (..., ncell, np2)."""
         cfg, m = self.config, self.mesh
+        F_mass, _, Jt = tables if tables is not None else (
+            self.F_mass, self.F_sphere, self.ird.Jt)
         xin = x * FsmoFtm if cfg.method == "ir" else x
         if self.facet:
             # Source field from the transport method's perspective is
             # (Q J) (apply_T_cell :283-307).
-            xin = xin * self.ird.Jt
+            xin = xin * Jt
         y = self._apply_T(T, pair_src, pair_tgt, pair_mask, xin)
         if cfg.dmc in _EQ_LOCAL:
             # Local mass target = this cell's share of each source basis
             # function's mass (remap_cell, slmmir_remap_data.cpp:340-357).
             xs = x[..., pair_src, :]
             xs = jnp.where(pair_mask[..., None], xs, 0.0)
-            dp = jnp.einsum('pi,pi,...pi->...p', ps,
-                            self.F_mass[pair_src], xs)
+            dp = mass_target_terms(ps, F_mass[pair_src], xs)
             dpm = jnp.moveaxis(dp, -1, 0)
             d = jnp.moveaxis(jax.ops.segment_sum(
                 dpm, pair_tgt, num_segments=m.ncell), 0, -1)
             # Facet: remove J_ref^sphere from the constraint vector because
             # it is part of the field (init_dgbfi_mass :250-256).
-            c = self.F_mass / self.ird.Jt if self.facet else self.F_mass
+            c = F_mass / Jt if self.facet else F_mass
             out = self._solve_1eq_ls(y, c, d)
         elif cfg.dmc == "geh":
             out = self._solve_glbl_eq(y, x)
         else:
             out = self._mass_solve(y)
         if self.facet:
-            out = out / self.ird.Jt
+            out = out / Jt
         return out
 
     # ------------------------------------------------------------------
-    def _step_impl(self, rho, q, ts, tf):
+    def _step_impl(self, rho, q, ts, tf, mesh_tables=None):
         cfg = self.config
         m = self.mesh
+        tables = mesh_tables if mesh_tables is not None else (
+            self.F_mass, self.F_sphere, self.ird.Jt)
+        F_mass, F_sphere, _ = tables
         adv_vert = timeint.integrate(
             self.wind.velocity, ts, tf, self.ird.vert_xyz, cfg.nsub)
         adv_cells = adv_vert[self.ird.cell2vert]
         pair_src, pair_tgt, pair_mask = self._pairs(adv_cells)
-        T, ps_raw = self._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
+        T, ps_raw = self._assemble_T(adv_cells, pair_src, pair_tgt,
+                                     pair_mask)
 
         if cfg.method == "ir":
-            FsmoFtm = self._fsmoftm(adv_cells, T, pair_src)
+            FsmoFtm = self._fsmoftm(adv_cells, T, pair_src,
+                                    F_sphere=F_sphere)
         else:
             FsmoFtm = jnp.ones_like(rho)
         ps = self._normalize_ps(ps_raw, pair_src)
 
         def project(x):
             return self._project(T, ps, pair_src, pair_tgt, pair_mask,
-                                 x, FsmoFtm)
+                                 x, FsmoFtm, tables)
 
         # Transport Q = rho * q (the driver passes mixing ratios; cell-
         # integrated methods remap tracer masses, slmmir.cpp:1168-1176).
@@ -461,7 +541,7 @@ class IrTransport:
         if cfg.filter != "none":
             # Density positivity (project_and_limit_cdr :583-603).
             rho_tgt = limiter_mod.limit_density(
-                self.F_mass, rho_tgt, jnp.zeros(m.ncell))
+                F_mass, rho_tgt, jnp.zeros(m.ncell))
             # Per-target-cell q bounds over the T-graph source neighborhood,
             # clamped to [0, 1] (MonoData::calc_q_min_max,
             # slmmir_mono_data.cpp:107-128).
@@ -482,7 +562,7 @@ class IrTransport:
             q_min = jnp.where(jnp.isfinite(q_min), q_min, 0.0)
             q_max = jnp.where(jnp.isfinite(q_max), q_max, 1.0)
 
-            F = self.F_mass
+            F = F_mass
             rhom = F[None] * rho_tgt[None]
             rho_mass = jnp.sum(F * rho_tgt, axis=-1)
             Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
@@ -513,10 +593,15 @@ class IrTransport:
                               Q_tgt / jnp.where(rho_tgt == 0, 1.0,
                                                 rho_tgt)[None])
             return rho_tgt, q_out
-        Ff = self.F_mass.reshape(-1)
-        rho_out = dss.dss(rho_tgt.reshape(-1), self.d2c_map, Ff,
-                          m.cnn).reshape(m.ncell, m.np2)
-        Q_out = dss.dss(Q_tgt.reshape(Q.shape[0], -1), self.d2c_map, Ff,
-                        m.cnn).reshape(Q_tgt.shape)
+        # Gather-formulation DSS (same per-node arithmetic the sharded IR
+        # step reproduces bitwise; the scatter/segment formulation orders
+        # the coincident-slot adds identically but lowers differently).
+        Ff = F_mass.reshape(-1)
+        rho_out = dss.dss_gather(rho_tgt.reshape(-1), self.d2c_map,
+                                 m.c2d_idx, m.c2d_mask,
+                                 Ff).reshape(m.ncell, m.np2)
+        Q_out = dss.dss_gather_t(Q_tgt.reshape(Q.shape[0], -1),
+                                 self.d2c_map, m.c2d_idx, m.c2d_mask,
+                                 Ff).reshape(Q_tgt.shape)
         q_out = Q_out / jnp.where(rho_out == 0, 1.0, rho_out)[None]
         return rho_out, q_out

@@ -552,8 +552,11 @@ class IslTransport:
             lo = (q_min_node * rho_tgt[None]).reshape(nt_, -1)
             hi = (q_max_node * rho_tgt[None]).reshape(nt_, -1)
             aF = jnp.broadcast_to(Ff[None], lo.shape)
-            Qf = local_qp.caas(aF, Q_mass_src, lo, hi,
-                               Q_tgt.reshape(nt_, -1))
+            # Fixed-tree global sums (bfb_sum) so the sharded caas-node
+            # path can reproduce this solve bitwise with its distributed
+            # BFB reducer.
+            Qf = local_qp.caas_gsum(aF, Q_mass_src, lo, hi,
+                                    Q_tgt.reshape(nt_, -1), gsum=bfb_sum)
             Q_tgt = Qf.reshape(Q_tgt.shape)
             rho_inv = 1.0 / jnp.where(rho_tgt == 0, 1.0, rho_tgt)
             q_new = jnp.where(rho_tgt[None] == 0, q_min_node,

@@ -203,3 +203,47 @@ def test_caas_randomized(ncells):
         for k, t in enumerate(group):
             out[t.idx] = res[k]
     assert check(tracers, rhom, data, out) == 0
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_qlt_randomized_sharded(ndev):
+    """The full 6-type x 6-perturbation battery through the SHARDED QLT
+    (incl. the dynamic-range consistent-only types - VERDICT r3 #5, the
+    cedr-test-unit-mpi analogue, cedr_qlt.cpp:745-798): every type must
+    reproduce the single-chip QLT bitwise at ndev in {2, 8} and pass the
+    reference's checks."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from compose_tpu.cdr.qlt_sharded import ShardedQLT
+
+    assert len(jax.devices()) >= ndev
+    ncells = 112                      # divisible by 2 and 8
+    rng = np.random.default_rng(42 + ncells)
+    tracers = make_tracers()
+    rhom, data = generate(rng, ncells, tracers)
+    for t in tracers:
+        perturb(rng, t, rhom, data[t.idx], ncells)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("cells",))
+    out = {}
+    for pt in PTS:
+        group = [t for t in tracers if t.problem_type == pt]
+        solver = qlt.QLT(ncells, problem_type=pt)
+        Qm = jnp.asarray(np.stack([data[t.idx]['Qm'] for t in group]))
+        Qm_min = jnp.asarray(np.stack([data[t.idx]['Qm_min'] for t in group]))
+        Qm_max = jnp.asarray(np.stack([data[t.idx]['Qm_max'] for t in group]))
+        Qm_prev = jnp.asarray(np.stack([data[t.idx]['Qm_prev']
+                                        for t in group]))
+        ref = np.asarray(solver.run(jnp.asarray(rhom), Qm, Qm_min, Qm_max,
+                                    Qm_prev))
+        sq = ShardedQLT(ncells, ndev, problem_type=pt)
+        f = jax.jit(jax.shard_map(
+            lambda rr, q, qn, qx, qp: sq.run(rr, q, qn, qx, Qm_prev=qp),
+            mesh=mesh,
+            in_specs=(P("cells"), P(None, "cells"), P(None, "cells"),
+                      P(None, "cells"), P(None, "cells")),
+            out_specs=P(None, "cells"), check_vma=False))
+        res = np.asarray(f(jnp.asarray(rhom), Qm, Qm_min, Qm_max, Qm_prev))
+        assert (res == ref).all(), f"problem type {pt} not bitwise"
+        for k, t in enumerate(group):
+            out[t.idx] = res[k]
+    assert check(tracers, rhom, data, out) == 0
