@@ -137,7 +137,7 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
         from .transport.prefine import PRefineConfig, PRefineTransport
         cfg = PRefineConfig(ne=ne, np_=np_, basis=basis, filter=filter_,
                             limiter=limiter, experiment=prefine, nsub=nsub,
-                            rotate=rotate)
+                            rotate=rotate, dmc=dmc)
         model = PRefineTransport(mesh, wind, cfg)
         if prefine == 5:
             mesh = model.mesh_v
@@ -199,8 +199,11 @@ def run(ne=10, np_=4, nsteps=12, T_days=12.0, ics=("gaussianhills",),
 
     max_step_mass_err = 0.0
     max_step_bounds_err = 0.0
+    # Per-step conservation check measure: the measure the model's CDR
+    # actually conserves (sphere for dmc=es on the ISL and prefine-5
+    # pipelines; prefine-1 conserves its pref-modified fine Homme mass).
     F_check0 = F_sph if (dmc == "es" and method not in ("ir", "cdg")
-                         and prefine not in (1, 5)) else F_gll
+                         and prefine != 1) else F_gll
     mass_prev = float(bfb_sum(F_check0 * (q[0] * rho).reshape(-1)))
     q_min0 = float(jnp.min(q[0]))
     q_max0 = float(jnp.max(q[0]))

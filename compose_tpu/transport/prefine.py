@@ -59,6 +59,11 @@ class PRefineConfig:
     # the same rotation as the fine grid (slmmir -rotate-grid rotates
     # geo_p before both grids are derived, slmmir.cpp:456-459).
     rotate: tuple = None
+    # Mass measure (-dmc): 'es' conserves the spherical basis-function
+    # integrals on both grids (the reference's prefine es rows assert
+    # sphere-measure cv, slmm_runtests.py:152-153); anything else uses
+    # the Homme/GLL-family weights.
+    dmc: str = "f"
 
 
 def _kron_eval(bas_from, x_nodes):
@@ -97,8 +102,15 @@ class PRefineTransport:
         self.Jt_f = jnp.einsum('fk,ck->cf', self.C2F, Jt_v)
         wf = np.asarray(self.basis_f.w)
         w2f = jnp.asarray(np.repeat(wf, config.np_) * np.tile(wf, config.np_))
-        self.F_f = w2f[None, :] * self.Jt_f                  # fine Homme mass
-        self.F_v = mv.dgbfi_gll
+        if config.dmc == "es":
+            # Sphere measure on both grids: the CDR, the inter-grid
+            # transfers, and the driver's cv check then all conserve the
+            # same functional.
+            self.F_f = mesh_f.dgbfi_sphere
+            self.F_v = mv.dgbfi_sphere
+        else:
+            self.F_f = w2f[None, :] * self.Jt_f              # fine Homme mass
+            self.F_v = mv.dgbfi_gll
 
         # Departure-point interpolation data for fine cgll nodes: owner
         # cell + GLL(np_v) weights at the fine node's ref coords (the

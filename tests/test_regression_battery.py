@@ -79,7 +79,7 @@ ROWS = [
     ("pref5_es_caas", ":156 prefine 5 es caas",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
        dmc="es", timeint="interp", prefine=5),
-     D(l2=5.885e-3, cv_gll=4e-14)),   # es measure waived on the two-grid
+     D(l2=5.885e-3, cv=4e-14)),
     ("pref0_eh_caas", ":157 prefine 0 eh caas",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
        dmc="eh", timeint="interp", prefine=0),
@@ -109,7 +109,7 @@ ROWS = [
     ("pref5_es_offset", ":168 prefine 5 es caas GllOffsetNodal",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
        dmc="es", timeint="interp", prefine=5, basis="GllOffsetNodal"),
-     D(l2=5.885e-3, cv_gll=4e-14)),
+     D(l2=5.885e-3, cv=4e-14)),
     ("pref5_eh_offset", ":169 prefine 5 eh caas GllOffsetNodal",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
        dmc="eh", timeint="interp", prefine=5, basis="GllOffsetNodal"),
