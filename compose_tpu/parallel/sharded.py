@@ -56,8 +56,11 @@ class ShardedIsl:
     reused; the step body is re-expressed as a shard_map program with
     explicit halo exchange. Supported configs: filter in
     {caas, qlt, mn2, caas-node, none}, any cell-local limiter, rho_isl
-    on/off, positive_only, f32/f64 geometry+interp, timeint exact/line,
-    uniform meshes (nonuniform meshes would only change `locate`).
+    on/off, positive_only, f32/f64 geometry+interp, timeint
+    exact/line/interp/interpline, uniform meshes (nonuniform meshes
+    would only change `locate`). Bitwise vs the single chip at np=4;
+    np=8's 64-wide per-cell reductions lower batch-dependently and sit
+    within a few ulp (tests pin both).
     caas-node runs its node-granularity CAAS through the distributed BFB
     reducer (bitwise-equal to the single chip's bfb_sum form); mn2
     all_gathers the O(ncell) per-cell records and solves its global
@@ -71,7 +74,8 @@ class ShardedIsl:
         assert cfg.filter in ("caas", "qlt", "none", "caas-node",
                               "mn2"), cfg.filter
         assert not m.nonuni and not m.is_subcell
-        assert cfg.timeint in ("exact", "line"), cfg.timeint
+        assert cfg.timeint in ("exact", "line", "interp",
+                               "interpline"), cfg.timeint
         assert model.fitext is None, "-fitext: single-chip path only"
         self.model = model
         self.cfg = cfg
@@ -113,6 +117,19 @@ class ShardedIsl:
         # Neighbor-wise exchange tables (integer constants - safe to close
         # over; only float DIVISOR tables must be runtime operands).
         self.halo_tabs, self.halo_perms = self.maps.ppermute_tables()
+        # -timeint interp: per-DGLL-slot coarse-grid interpolation tables
+        # (the per-CGLL-node tables expanded to slots; each shard carries
+        # its block). The coarse v-grid is SMALL and integrated redundantly
+        # per shard - elementwise, so bitwise identical to the single chip.
+        if model.vmesh is not None:
+            d2c_flat = np.asarray(m.dgll2cgll).reshape(-1)
+            vw = np.asarray(model.v_weights)[d2c_flat]
+            voc = np.asarray(model.v_own_cell)[d2c_flat]
+            self.v_w_slot = jnp.asarray(vw.reshape(m.ncell, m.np2, -1))
+            self.v_oc_slot = jnp.asarray(
+                voc.reshape(m.ncell, m.np2).astype(np.int32))
+        else:
+            self.v_w_slot = self.v_oc_slot = None
         self._step_jit = None
         self._coverage_checked = set()
 
@@ -213,14 +230,43 @@ class ShardedIsl:
         the single-chip per-CGLL-node computation."""
         model, cfg, m = self.model, self.cfg, self.m
         f32 = cfg.geom_dtype == "f32"
-        nodes = node_xyz.reshape(-1, 3)
-        if f32:
-            nodes = nodes.astype(jnp.float32)
-        if cfg.timeint == "line":
-            dep = timeint.integrate_line(model.wind.velocity, tf, ts, nodes)
+        if model.vmesh is not None:
+            # -timeint interp: integrate the (small, replicated) coarse
+            # velocity grid and interpolate departure points to this
+            # shard's slots - the exact per-node arithmetic of the
+            # single-chip path (duplicated per coincident slot; identical
+            # inputs give identical bits).
+            vm = model.vmesh
+            vnodes = (vm.cgll_xyz.astype(jnp.float32) if f32
+                      else vm.cgll_xyz)
+            if cfg.timeint == "interpline":
+                vdep = timeint.integrate_line(model.wind.velocity, tf, ts,
+                                              vnodes)
+            else:
+                vdep = timeint.integrate(model.wind.velocity, tf, ts,
+                                         vnodes, cfg.nsub)
+            vdep_cells = vdep[vm.dgll2cgll]          # (ncell_v, vnp2, 3)
+            s_ = jax.lax.axis_index("cells")
+            B = node_xyz.shape[0]
+            vw = jax.lax.dynamic_slice_in_dim(
+                self.v_w_slot, s_ * B, B, 0).reshape(-1,
+                                                     self.v_w_slot.shape[-1])
+            voc = jax.lax.dynamic_slice_in_dim(
+                self.v_oc_slot, s_ * B, B, 0).reshape(-1)
+            dep = timeint.interp_departure(vw.astype(vdep.dtype),
+                                           vdep_cells[voc])
+            from ..ops import sphere as sphere_ops
+            dep = sphere_ops.normalize(dep)
         else:
-            dep = timeint.integrate(model.wind.velocity, tf, ts, nodes,
-                                    cfg.nsub)
+            nodes = node_xyz.reshape(-1, 3)
+            if f32:
+                nodes = nodes.astype(jnp.float32)
+            if cfg.timeint == "line":
+                dep = timeint.integrate_line(model.wind.velocity, tf, ts,
+                                             nodes)
+            else:
+                dep = timeint.integrate(model.wind.velocity, tf, ts, nodes,
+                                        cfg.nsub)
         ci, a0, b0 = cubed_sphere.locate(m, dep)
         corners = m.corners[ci]
         if f32:

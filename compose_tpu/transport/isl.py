@@ -183,9 +183,9 @@ class IslTransport:
                 vdep = timeint.integrate(self.wind.velocity, tf, ts, vnodes,
                                          self.config.nsub)
             vdep_cells = vdep[vm.dgll2cgll]          # (ncell, v_np2, 3)
-            dep = jnp.einsum('ck,ckd->cd',
-                             self.v_weights.astype(vdep.dtype),
-                             vdep_cells[self.v_own_cell])
+            dep = timeint.interp_departure(
+                self.v_weights.astype(vdep.dtype),
+                vdep_cells[self.v_own_cell])
             dep = sphere.normalize(dep)
         else:
             nodes = m.cgll_xyz.astype(jnp.float32) if f32 else m.cgll_xyz

@@ -87,3 +87,14 @@ def integrate_line(velocity, ts: float, tf: float, p):
         f = velocity(th, uh)
         uh = p + (0.5 * dt) * f
     return sphere.normalize(p + dt * f)
+
+
+def interp_departure(vw, cells):
+    """Departure-point interpolation sum_k vw[..., k] * cells[..., k, :] as
+    an explicit left-to-right chain - einsum association is batch-shape-
+    dependent, and the sharded step evaluates the same rows in per-shard
+    blocks (bitwise contract)."""
+    acc = vw[..., 0, None] * cells[..., 0, :]
+    for k in range(1, vw.shape[-1]):
+        acc = acc + vw[..., k, None] * cells[..., k, :]
+    return acc

@@ -366,3 +366,54 @@ def test_sharded_mn2_redistribute_bitwise():
         out_specs=P(None, "cells"), check_vma=False))
     out = np.asarray(f(Q_min, Q_mass, Q_max, extra))
     assert (out == ref).all()
+
+
+def test_designed_sharded_step_interp_timeint_bitwise():
+    """-timeint interp on the sharded step: the coarse velocity grid is
+    integrated redundantly per shard and interpolated to each shard's
+    slots with the shared explicitly-associated chain - bitwise equal to
+    the single chip (v_np=2 under np=4 exercises the machinery)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ne = 4
+    mesh = cubed_sphere.build(ne, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=4, filter="caas", limiter="caas",
+                    rho_isl=True, nsub=2, timeint="interp", v_np=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills",))
+    dt = 86400.0 * 12 / 130
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    sh = ShardedIsl(model, 8)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
+def test_designed_sharded_step_np8():
+    """np=8 (np2=64): XLA lowers the 64-wide per-cell reductions
+    differently for the block batch than the full batch, worth a few ulp
+    (np=4 is exactly 0 - see the tests above). Pin at 4 ulp; conservation
+    and bounds are enforced identically on both sides."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ne = 4
+    mesh = cubed_sphere.build(ne, 8)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=8, filter="caas", limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills",))
+    dt = 86400.0 * 12 / 130
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    sh = ShardedIsl(model, 8)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    ulp = float(jnp.finfo(jnp.float64).eps)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() <= 4 * ulp
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() <= 4 * ulp
