@@ -110,7 +110,7 @@ def test_compare_MT_zero_flow():
     adv_vert = ird.vert_xyz                          # zero flow
     adv_cells = adv_vert[ird.cell2vert]
     pair_src, pair_tgt, pair_mask = model._pairs(adv_cells)
-    T, _ = model._assemble_T(adv_vert, pair_src, pair_tgt, pair_mask)
+    T, _ = model._assemble_T(adv_cells, pair_src, pair_tgt, pair_mask)
 
     # T blocks live per (tgt, cand) pair; extract each target's self-block.
     # ird.chol is chol(M); recover M = L @ L.T.
