@@ -48,6 +48,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import df64
+
 try:                          # pallas-TPU registration fails on cpu-only
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -105,6 +107,70 @@ def _q_kernel(dx, dy, n, nrow):
         cg = jnp.where(ok, num / jnp.where(ok, den, 1.0),
                        num0 / den0_ref[...])
         out_ref[...] = jnp.clip(cg, mn, mx)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _q_kernel_dd(dx, dy, n, nrow):
+    """Pallas TPU kernel for the f64 dss_q merge block via explicit
+    double-float (two-f32) arithmetic (ops/df64.py).
+
+    XLA's own f64 emulation of the roll-merge chain compiles to dozens of
+    unfused HBM-bound kernels (~4 ms in-step at ne30/nt40); this kernel runs
+    the identical merge structure VMEM-resident on (hi, lo) f32 pairs in one
+    dispatch. Bounds stay exact: the final clip selects among pair values
+    (min/max/select are lexicographic, returning inputs verbatim), so
+    q_out in [min, max] of the coincident slots holds bitwise. The weighted
+    average itself carries df64 (~1e-14 relative) rounding instead of f64
+    (~1e-16) - DSS mass redistribution noise, well inside the 1e-12 mass
+    and 5e-13 bounds invariants (validated on TPU, see tests/test_df64.py
+    for the arithmetic and tools/exp_r5_dd_check.py for the in-situ check).
+    """
+    dx, dy, n = int(dx), int(dy), int(n)
+
+    def kernel(wh_ref, wl_ref, Fh_ref, Fl_ref, mxl_ref, mxr_ref, myd_ref,
+               myu_ref, qh_ref, ql_ref, oh_ref, ol_ref):
+        bxl = mxl_ref[...] > 0
+        bxr = mxr_ref[...] > 0
+        byd = myd_ref[...] > 0
+        byu = myu_ref[...] > 0
+
+        def roll_pair(a, s):
+            return (pltpu.roll(a[0], s, 1), pltpu.roll(a[1], s, 1))
+
+        def masked(m, a):
+            z = jnp.zeros_like(a[0])
+            return (jnp.where(m, a[0], z), jnp.where(m, a[1], z))
+
+        def madd(a):
+            xm = df64.add(df64.add(a, masked(bxl, roll_pair(a, n - dx))),
+                          masked(bxr, roll_pair(a, dx)))
+            return df64.add(
+                df64.add(xm, masked(byd, roll_pair(xm, n - dy))),
+                masked(byu, roll_pair(xm, dy)))
+
+        def mop(a, op):
+            xm = df64.select(bxl, op(a, roll_pair(a, n - dx)), a)
+            xm = df64.select(bxr, op(xm, roll_pair(a, dx)), xm)
+            ym = df64.select(byd, op(xm, roll_pair(xm, n - dy)), xm)
+            return df64.select(byu, op(ym, roll_pair(xm, dy)), ym)
+
+        w = (wh_ref[...], wl_ref[...])
+        F = (Fh_ref[...], Fl_ref[...])
+        # Two-stage weights (see the XLA path in dss_q): zero-mass nodes
+        # fall back to the static dgbfi weights. Merged weights are sums of
+        # nonnegative terms, so den > 0 iff den_hi > 0.
+        den = madd(w)
+        w2 = df64.select(den[0] > 0, w, F)
+        den2 = madd(w2)
+        q = (qh_ref[...], ql_ref[...])
+        num = madd(df64.mul(w2, q))
+        mn = mop(q, df64.min_)
+        mx = mop(q, df64.max_)
+        cg = df64.clip(df64.div(num, den2), mn, mx)
+        oh_ref[...] = cg[0]
+        ol_ref[...] = cg[1]
 
     return kernel
 
@@ -318,6 +384,44 @@ class FaceDss:
               self.den0.reshape(1, -1).astype(f32), mxl, mxr, myd, myu, qf)
         return cg[:nt] if ntp != nt else cg
 
+    def _pallas_q_dd(self, wf64, qf64):
+        """f64 TPU merge block via the df64 kernel: wf64 (1, n) weights,
+        qf64 (nt, n) tracers, both f64. Returns the clipped weighted
+        average, f64."""
+        nt, n = qf64.shape
+        B = self._PALLAS_ROWS
+        ntp = -(-nt // B) * B
+        wh, wl = df64.split_f64(wf64)
+        Fh, Fl = df64.split_f64(self.F.reshape(1, -1).astype(jnp.float64))
+        qh, ql = df64.split_f64(qf64)
+        if ntp != nt:
+            qh = jnp.pad(qh, ((0, ntp - nt), (0, 0)))
+            ql = jnp.pad(ql, ((0, ntp - nt), (0, 0)))
+        kern = _q_kernel_dd(self.dx, self.dy, n, B)
+        f32 = jnp.float32
+        mxl, mxr, myd, myu = self._fmasks32
+        row = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        blk = pl.BlockSpec((B, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        with jax.enable_x64(False):
+            oh, ol = pl.pallas_call(
+                kern,
+                out_shape=(jax.ShapeDtypeStruct((ntp, n), f32),
+                           jax.ShapeDtypeStruct((ntp, n), f32)),
+                grid=(ntp // B,),
+                in_specs=[row] * 8 + [blk, blk],
+                out_specs=(blk, blk),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(wh, wl, Fh, Fl, mxl, mxr, myd, myu, qh, ql)
+        out = df64.join_f64((oh[:nt], ol[:nt]))
+        return out
+
+    def _use_pallas_dd(self, dtype):
+        return (pl is not None and dtype == jnp.float64
+                and self.pallas_enabled
+                and 2 * self.ndgll <= self._PALLAS_MAX_LANES
+                and jax.default_backend() == "tpu")
+
     # The kernel keeps full (8, ndgll) + seven (1, ndgll) f32 rows plus
     # ~15 live roll temporaries in VMEM; stay well under the 100MB
     # vmem_limit_bytes and fall back to the XLA roll path beyond that
@@ -342,7 +446,11 @@ class FaceDss:
             field.reshape(1, self.ndgll)
         nt = vf.shape[0]
         Ff = self.F.reshape(-1).astype(vf.dtype)
-        if clip_minmax and nt > 1 and self._use_pallas(vf.dtype):
+        if clip_minmax and self._use_pallas_dd(vf.dtype):
+            # f64 single-field DSS == dss_q with rho = 1 (weights F, F > 0
+            # everywhere so the fallback never fires); same df64 kernel.
+            cg = self._pallas_q_dd(Ff[None], vf)
+        elif clip_minmax and nt > 1 and self._use_pallas(vf.dtype):
             cg = self._pallas_q(Ff[None], vf)
         else:
             num = self._merge_add(Ff[None] * vf)
@@ -376,7 +484,9 @@ class FaceDss:
         qf = q.reshape(nt, -1)
         wf = (self.F * rho).reshape(1, -1).astype(qf.dtype)
         Ff = self.F.reshape(-1).astype(qf.dtype)
-        if self._use_pallas(qf.dtype):
+        if self._use_pallas_dd(qf.dtype):
+            cg = self._pallas_q_dd(wf, qf)
+        elif self._use_pallas(qf.dtype):
             cg = self._pallas_q(wf, qf)
         else:
             # Two-stage weights: merge w once to find zero-mass nodes, then
