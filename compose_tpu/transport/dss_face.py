@@ -388,12 +388,21 @@ class FaceDss:
         """f64 TPU merge block via the df64 kernel: wf64 (1, n) weights,
         qf64 (nt, n) tracers, both f64. Returns the clipped weighted
         average, f64."""
-        nt, n = qf64.shape
+        oh, ol = self._pallas_q_dd_pairs(df64.split_f64(wf64),
+                                         df64.split_f64(qf64))
+        return df64.join_f64((oh, ol))
+
+    def _pallas_q_dd_pairs(self, w_pair, q_pair):
+        """Pair-level entry to the df64 merge kernel: w_pair ((1, n) hi/lo),
+        q_pair ((nt, n) hi/lo). Returns the (hi, lo) merged block (pre
+        edge-fix) - used directly by the fused CDR path to keep pairs
+        flowing between kernels without f64 round trips."""
+        qh, ql = q_pair
+        wh, wl = w_pair
+        nt, n = qh.shape
         B = self._PALLAS_ROWS
         ntp = -(-nt // B) * B
-        wh, wl = df64.split_f64(wf64)
         Fh, Fl = df64.split_f64(self.F.reshape(1, -1).astype(jnp.float64))
-        qh, ql = df64.split_f64(qf64)
         if ntp != nt:
             qh = jnp.pad(qh, ((0, ntp - nt), (0, 0)))
             ql = jnp.pad(ql, ((0, ntp - nt), (0, 0)))
@@ -413,8 +422,7 @@ class FaceDss:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
             )(wh, wl, Fh, Fl, mxl, mxr, myd, myu, qh, ql)
-        out = df64.join_f64((oh[:nt], ol[:nt]))
-        return out
+        return oh[:nt], ol[:nt]
 
     def _use_pallas_dd(self, dtype):
         return (pl is not None and dtype == jnp.float64

@@ -32,7 +32,8 @@ from .. import basis as basis_mod
 from ..mesh import cubed_sphere
 from ..ops import local_qp, sphere, sqr
 from ..ops.reduce import bfb_sum, bfb_sum_cells
-from . import dss, limiter as limiter_mod, spf, timeint
+from ..ops import df64
+from . import cdr_fused, dss, limiter as limiter_mod, spf, timeint
 from .dss_face import FaceDss
 
 
@@ -165,6 +166,19 @@ class IslTransport:
         if self._step_ext is None:
             self._step_ext = jax.jit(self._step_impl)
         return self._step_ext(rho, q, ts, tf, rho_tgt, mesh_tables=tables)
+
+    # ------------------------------------------------------------------
+    def _fused_tracer_cdr_ok(self):
+        """Route the tracer CDR through the fused df64 TPU kernels
+        (transport/cdr_fused.py)? Single-device TPU only; the CPU/sharded
+        paths keep the reference-parity f64 XLA formulation."""
+        cfg = self.config
+        return (cdr_fused.available() and self.face_dss is not None
+                and self.face_dss.pallas_enabled
+                and cfg.filter == "caas" and cfg.limiter == "caas"
+                and not cfg.positive_only and self.fitext is None
+                and cfg.interp_dtype == "f32" and cfg.rho_isl
+                and 2 * self.face_dss.ndgll <= FaceDss._PALLAS_MAX_LANES)
 
     # ------------------------------------------------------------------
     def _departure_data(self, ts, tf):
@@ -435,8 +449,9 @@ class IslTransport:
             ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
             rho_tgt = (ratio32 * g[:, 1].reshape(
                 m.ncell, m.np2)).astype(jnp.float64)
-            q_tgt = jnp.moveaxis(g[:, 2:], -1, 0).astype(
-                jnp.float64).reshape(q.shape[0], m.ncell, m.np2)
+            q_tgt32_flat = jnp.moveaxis(g[:, 2:], -1, 0)     # (nt, ndgll) f32
+            q_tgt = q_tgt32_flat.astype(jnp.float64).reshape(
+                q.shape[0], m.ncell, m.np2)
         else:
             if cfg.rho_isl:
                 rho_interp = self._interp(rho, ci, w)        # (cnn,)
@@ -536,6 +551,45 @@ class IslTransport:
                                    q_max_cell)
         node_src_cell = (node_src_flat if node_src_flat is not None
                          else ci[self.d2c_map]).reshape(m.ncell, m.np2)
+
+        if self._fused_tracer_cdr_ok() and rho_tgt_ext is None:
+            # Fused df64 TPU path (transport/cdr_fused.py): pair-component
+            # bounds gather, per-cell records against the pair VALUES (join
+            # is exact, so the redistribute targets and the kernel's bounds
+            # agree), then the global-CAAS kernel and the fused
+            # limiter+DSS kernel. Reference flow: isl_cdr
+            # (slmmir_remapper_isl.cpp:1292-1455) with glbl_caas + local
+            # clip_and_sum.
+            nt_ = q.shape[0]
+            ndg = m.ncell * m.np2
+            mnh, mnl = df64.split_f64(q_min_cell)
+            mxh, mxl = df64.split_f64(q_max_cell)
+            qmm4 = jnp.stack([mnh, mnl, mxh, mxl])           # (4, nt, ncell)
+            qn4 = jnp.moveaxis(
+                jnp.moveaxis(qmm4, (0, 1), (-2, -1))[node_src_cell],
+                (-2, -1), (0, 1))                            # (4, nt, nc, np2)
+            qmnh = qn4[0].reshape(nt_, ndg)
+            qmnl = qn4[1].reshape(nt_, ndg)
+            qmxh = qn4[2].reshape(nt_, ndg)
+            qmxl = qn4[3].reshape(nt_, ndg)
+            q_min_n = df64.join_f64((qmnh, qmnl)).reshape(nt_, m.ncell,
+                                                          m.np2)
+            q_max_n = df64.join_f64((qmxh, qmxl)).reshape(nt_, m.ncell,
+                                                          m.np2)
+            rhom = (F * rho_tgt)[None]
+            Qc_min = jnp.sum(rhom * q_min_n, axis=-1)
+            Qc_max = jnp.sum(rhom * q_max_n, axis=-1)
+            Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
+            redist = cdr_fused.glbl_caas_tpu(
+                Qc_min, Qc_mass, Qc_max, Q_mass_src - Q_mass_tgt)
+            cg, q_new_flat = cdr_fused.limit_dss_tpu(
+                self.face_dss, q_tgt32_flat, rho_tgt.reshape(-1),
+                (qmnh, qmnl), (qmxh, qmxl), redist)
+            wf = (F * rho_tgt).reshape(-1)
+            q_out = self.face_dss._fix_q(cg, q_new_flat, wf, Ff).reshape(
+                q.shape)
+            return rho_tgt, q_out
+
         # Tracer-innermost bounds gather (wide rows; see q_tgt above).
         qmm = jnp.stack([q_min_cell, q_max_cell])            # (2, nt, ncell)
         qmm_n = jnp.moveaxis(
