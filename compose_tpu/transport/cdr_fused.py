@@ -76,10 +76,13 @@ def _glbl_caas_kernel(ncp, nrow):
         above = df64.lt(mx, ms)
         delta = df64.select(below, df64.sub(mn, ms),
                             df64.select(above, df64.sub(mx, ms), (z, z)))
-        dsum = rowsum(delta)
-        ex = (ex_h[:, 0:1], ex_l[:, 0:1])
-        m = df64.sub(ex, dsum)                      # (nrow, 1)
         msd = df64.add(ms, delta)
+        # ex is the SOURCE total; m = ex - sum(mass + delta) equals the
+        # reference's extra - sum(delta) with extra = src - sum(mass)
+        # (glbl_caas_gsum, transport/spf.py) without materializing the
+        # target total outside the kernel.
+        ex = (ex_h[:, 0:1], ex_l[:, 0:1])
+        m = df64.sub(ex, rowsum(msd))               # (nrow, 1)
         # v_up = 0 where mass >= max else max - (mass+delta); v_dn likewise.
         ge_mx = ~df64.lt(ms, mx)
         le_mn = ~df64.lt(mn, ms)
@@ -102,24 +105,26 @@ def _glbl_caas_kernel(ncp, nrow):
     return kernel
 
 
-def glbl_caas_tpu(Q_min, Q_mass, Q_max, extra_mass):
-    """Redistributed per-cell masses, df64 Pallas. All f64: Q_* (nt, ncell),
-    extra_mass (nt,). Returns (nt, ncell) f64."""
-    nt, ncell = Q_mass.shape
+def glbl_caas_pairs(mn_pair, ms_pair, mx_pair, src_total):
+    """Redistributed per-cell masses, df64 Pallas, pair I/O.
+
+    mn/ms/mx: ((nt, ncell) hi, lo) f32 record pairs; src_total: (nt,) f64
+    SOURCE mass totals (the redistribute target: out sums to src_total per
+    tracer). Returns the (hi, lo) (nt, ncell) pair."""
+    nt, ncell = ms_pair[0].shape
     ncp = 1
     while ncp < ncell:
         ncp *= 2
     ntp = -(-nt // _ROWS) * _ROWS
 
     def prep(x):
-        h, l = df64.split_f64(x)
-        return (jnp.pad(h, ((0, ntp - nt), (0, ncp - ncell))),
-                jnp.pad(l, ((0, ntp - nt), (0, ncp - ncell))))
+        return (jnp.pad(x[0], ((0, ntp - nt), (0, ncp - ncell))),
+                jnp.pad(x[1], ((0, ntp - nt), (0, ncp - ncell))))
 
-    mn_h, mn_l = prep(Q_min)
-    ms_h, ms_l = prep(Q_mass)
-    mx_h, mx_l = prep(Q_max)
-    exh, exl = df64.split_f64(extra_mass)
+    mn_h, mn_l = prep(mn_pair)
+    ms_h, ms_l = prep(ms_pair)
+    mx_h, mx_l = prep(mx_pair)
+    exh, exl = df64.split_f64(src_total)
     ex_h = jnp.pad(jnp.broadcast_to(exh[:, None], (nt, 128)),
                    ((0, ntp - nt), (0, 0)))
     ex_l = jnp.pad(jnp.broadcast_to(exl[:, None], (nt, 128)),
@@ -141,7 +146,108 @@ def glbl_caas_tpu(Q_min, Q_mass, Q_max, extra_mass):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(mn_h, mn_l, ms_h, ms_l, mx_h, mx_l, ex_h, ex_l)
-    return df64.join_f64((oh[:nt, :ncell], ol[:nt, :ncell]))
+    return oh[:nt, :ncell], ol[:nt, :ncell]
+
+
+# ---------------------------------------------------------------------------
+# Pair-arithmetic XLA glue: per-cell records and the cube-edge fix pass.
+# These are plain f32 jnp chains (XLA fuses them well, unlike emulated f64).
+
+def pair_cellsum(x_pair, np2):
+    """Pair sum over aligned np2-groups of the last axis: ((..., n) hi/lo)
+    -> ((..., n/np2) hi/lo), via halving folds (np2 padded to a power of
+    two with zeros if needed)."""
+    h, l = x_pair
+    lead = h.shape[:-1]
+    h = h.reshape(lead + (-1, np2))
+    l = l.reshape(lead + (-1, np2))
+    m = 1
+    while m < np2:
+        m *= 2
+    if m != np2:
+        h = jnp.pad(h, [(0, 0)] * len(lead) + [(0, 0), (0, m - np2)])
+        l = jnp.pad(l, [(0, 0)] * len(lead) + [(0, 0), (0, m - np2)])
+    while m > 1:
+        m //= 2
+        h, l = df64.add((h[..., :m], l[..., :m]),
+                        (h[..., m:2 * m], l[..., m:2 * m]))
+    return h[..., 0], l[..., 0]
+
+
+def records_pairs(rhom_pair, q_tgt32, qmn_pair, qmx_pair, np2):
+    """Per-cell CDR records in pair arithmetic (spf.record semantics):
+    rhom_pair: ((n,) hi/lo) per-node masses F*rho; q_tgt32: (nt, n) f32
+    exact target ratios; qmn/qmx: ((nt, n) hi/lo) node bounds.
+    Returns (Cmin, Cmass, Cmax) as (nt, ncell) pairs."""
+    rh = (rhom_pair[0][None], rhom_pair[1][None])
+    Cmass = pair_cellsum(df64.mul_f32(rh, q_tgt32), np2)
+    Cmin = pair_cellsum(df64.mul(rh, qmn_pair), np2)
+    Cmax = pair_cellsum(df64.mul(rh, qmx_pair), np2)
+    return Cmin, Cmass, Cmax
+
+
+def fix_q_pairs(face_dss, cg_pair, qn_pair, w_pair, F_pair):
+    """Cube-edge exact-gather fix (FaceDss._fix_q) in pair arithmetic:
+    overwrite the fix nodes of cg with the w-weighted (F-fallback) average
+    of qn over their coincident slots, clipped to the slot range. All
+    (nt, n) / (n,) pairs; returns the fixed (nt, n) pair."""
+    idx = face_dss.fix_idx                      # (nfix, 4)
+    mask = face_dss.fix_mask
+    mk = mask[..., None]
+
+    def gather_nodes(p):
+        # (nt, n) pair -> (nfix, 4, nt) pair, tracer-innermost.
+        return (p[0].T[idx], p[1].T[idx])
+
+    vals = gather_nodes(qn_pair)
+
+    def gather_w(p):
+        # 0.0 is a WEAK scalar: stays f32 (a concrete jnp.zeros(()) would
+        # promote the pair to f64, whose Dekker splits the f32 splitter
+        # cannot handle).
+        gh = jnp.where(mask, p[0][idx], 0.0)[..., None]
+        gl = jnp.where(mask, p[1][idx], 0.0)[..., None]
+        return gh, gl
+
+    wfix = gather_w(w_pair)
+    w0fix = gather_w(F_pair)
+
+    def sum4(p):
+        h, l = p
+        acc = (h[:, 0], l[:, 0])
+        for k in range(1, 4):
+            acc = df64.add(acc, (h[:, k], l[:, k]))
+        return acc
+
+    num = sum4(df64.mul(wfix, vals))
+    den = sum4(wfix)
+    num0 = sum4(df64.mul(w0fix, vals))
+    den0 = sum4(w0fix)
+    ok = den[0] > 0
+    one = jnp.ones_like(den[0])
+    cgf = df64.select(ok,
+                      df64.div(num, df64.select(ok, den, (one, 0 * one))),
+                      df64.div(num0, den0))
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    lo_h = jnp.where(mk, vals[0], big)
+    lo_l = jnp.where(mk, vals[1], 0.0)
+    hi_h = jnp.where(mk, vals[0], -big)
+    hi_l = jnp.where(mk, vals[1], 0.0)
+    mn = (lo_h[:, 0], lo_l[:, 0])
+    mx = (hi_h[:, 0], hi_l[:, 0])
+    for k in range(1, 4):
+        mn = df64.min_(mn, (lo_h[:, k], lo_l[:, k]))
+        mx = df64.max_(mx, (hi_h[:, k], hi_l[:, k]))
+    cgf = df64.clip(cgf, mn, mx)
+    # Scatter to every valid slot of each fix node (masked lanes target
+    # out-of-bounds and drop).
+    nt = qn_pair[0].shape[0]
+    tgt = face_dss.fix_tgt.reshape(-1)
+    upd_h = jnp.broadcast_to(cgf[0][:, None], (cgf[0].shape[0], 4, nt))
+    upd_l = jnp.broadcast_to(cgf[1][:, None], (cgf[1].shape[0], 4, nt))
+    oh = cg_pair[0].T.at[tgt].set(upd_h.reshape(-1, nt), mode="drop").T
+    ol = cg_pair[1].T.at[tgt].set(upd_l.reshape(-1, nt), mode="drop").T
+    return oh, ol
 
 
 # ---------------------------------------------------------------------------
@@ -215,24 +321,21 @@ def _limit_kernel(n, np2, nrow):
     return kernel
 
 
-def limit_dss_tpu(face_dss, q_tgt32, rho_tgt, qmn_pair, qmx_pair, redist):
-    """Cell-local CAAS limiter kernel, then the dss_face df64 merge kernel
-    fed the limited pairs directly. q_tgt32: (nt, n) f32 (the f32-interp
-    target mixing ratios, exactly representable); rho_tgt: (n,) f64;
-    qmn_pair/qmx_pair: ((nt, n), (nt, n)) f32 hi/lo node-bound pairs;
-    redist: (nt, ncell) f64 per-cell target masses.
-    Returns (cg, q_new), both (nt, n) f64: the merged (pre-edge-fix)
-    continuous field and the limited pre-DSS field (for the fix pass)."""
+def limit_pairs(face_dss, q_tgt32, F_pair, rho_pair, qmn_pair, qmx_pair,
+                b_pair):
+    """Cell-local CAAS limiter kernel, pair I/O. q_tgt32: (nt, n) f32 (the
+    f32-interp target ratios, exactly representable); F_pair/rho_pair:
+    ((n,) hi/lo); qmn/qmx: ((nt, n) hi/lo) node bounds; b_pair: ((nt,
+    ncell) hi/lo) per-cell target masses. Returns the limited (nt, n)
+    (hi, lo) pair (zero-density nodes at the lower bound)."""
     nt, n = q_tgt32.shape
     np2 = face_dss.np_ * face_dss.np_
     B = _ROWS
     ntp = -(-nt // B) * B
-    Fh, Fl = df64.split_f64(face_dss.F.reshape(1, -1).astype(jnp.float64))
-    rho_row = rho_tgt.reshape(1, -1)
-    rh, rl = df64.split_f64(rho_row)
-    bh, bl = df64.split_f64(redist)
-    bh = jnp.repeat(bh, np2, axis=-1)
-    bl = jnp.repeat(bl, np2, axis=-1)
+    Fh, Fl = F_pair[0].reshape(1, -1), F_pair[1].reshape(1, -1)
+    rh, rl = rho_pair[0].reshape(1, -1), rho_pair[1].reshape(1, -1)
+    bh = jnp.repeat(b_pair[0], np2, axis=-1)
+    bl = jnp.repeat(b_pair[1], np2, axis=-1)
 
     def padr(x):
         return jnp.pad(x, ((0, ntp - nt), (0, 0))) if ntp != nt else x
@@ -255,7 +358,4 @@ def limit_dss_tpu(face_dss, q_tgt32, rho_tgt, qmn_pair, qmx_pair, redist):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(Fh, Fl, rh, rl, q32, qmnh, qmnl, qmxh, qmxl, bh, bl)
-    qn_pair = (qnh[:nt], qnl[:nt])
-    wf = face_dss.F.reshape(1, -1).astype(jnp.float64) * rho_row
-    cg_pair = face_dss._pallas_q_dd_pairs(df64.split_f64(wf), qn_pair)
-    return df64.join_f64(cg_pair), df64.join_f64(qn_pair)
+    return qnh[:nt], qnl[:nt]

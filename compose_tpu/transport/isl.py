@@ -505,6 +505,47 @@ class IslTransport:
 
         # --- CDR for tracers (isl_cdr, :1292-1455), vectorized over nt.
         nt = q.shape[0]
+
+        if (self._fused_tracer_cdr_ok() and rho_tgt_ext is None
+                and not cfg.positive_only):
+            # Fused df64 TPU path (transport/cdr_fused.py): the whole
+            # region runs on (hi, lo) f32 pairs - pair bounds gather,
+            # pair-arithmetic records, the global-CAAS kernel (which also
+            # folds the target-mass total), the cell-local limiter kernel,
+            # the DSS merge kernel, and the pair fix pass - with one f64
+            # materialization at the end. Reference flow: isl_cdr
+            # (slmmir_remapper_isl.cpp:1292-1455) with glbl_caas + local
+            # clip_and_sum. Never materializes Q_tgt or q_tgt in f64.
+            ndg = m.ncell * m.np2
+            Q_mass_src = bfb_sum_cells(F[None] * q * rho[None])
+            q_min_cell = jnp.min(q, axis=-1)
+            q_max_cell = jnp.max(q, axis=-1)
+            node_src_cell = node_src_flat.reshape(m.ncell, m.np2)
+            mnh, mnl = df64.split_f64(q_min_cell)
+            mxh, mxl = df64.split_f64(q_max_cell)
+            qmm4 = jnp.stack([mnh, mnl, mxh, mxl])           # (4, nt, ncell)
+            qn4 = jnp.moveaxis(
+                jnp.moveaxis(qmm4, (0, 1), (-2, -1))[node_src_cell],
+                (-2, -1), (0, 1))                            # (4, nt, nc, np2)
+            qmn_pair = (qn4[0].reshape(nt, ndg), qn4[1].reshape(nt, ndg))
+            qmx_pair = (qn4[2].reshape(nt, ndg), qn4[3].reshape(nt, ndg))
+            F_pair = df64.split_f64(Ff)
+            rho_pair = df64.split_f64(rho_tgt.reshape(-1))
+            rhom_pair = df64.mul(F_pair, rho_pair)
+            Cmin, Cmass, Cmax = cdr_fused.records_pairs(
+                rhom_pair, q_tgt32_flat, qmn_pair, qmx_pair, m.np2)
+            redist_pair = cdr_fused.glbl_caas_pairs(
+                Cmin, Cmass, Cmax, Q_mass_src)
+            qn_pair = cdr_fused.limit_pairs(
+                self.face_dss, q_tgt32_flat, F_pair, rho_pair, qmn_pair,
+                qmx_pair, redist_pair)
+            cg_pair = self.face_dss._pallas_q_dd_pairs(
+                (rhom_pair[0][None], rhom_pair[1][None]), qn_pair)
+            cg_pair = cdr_fused.fix_q_pairs(
+                self.face_dss, cg_pair, qn_pair, rhom_pair, F_pair)
+            q_out = df64.join_f64(cg_pair).reshape(q.shape)
+            return rho_tgt, q_out
+
         Q_tgt = q_tgt * rho_tgt[None]
         QQ = bfb_sum_cells(jnp.stack([F[None] * q * rho[None],
                                       F[None] * Q_tgt]))
@@ -551,44 +592,6 @@ class IslTransport:
                                    q_max_cell)
         node_src_cell = (node_src_flat if node_src_flat is not None
                          else ci[self.d2c_map]).reshape(m.ncell, m.np2)
-
-        if self._fused_tracer_cdr_ok() and rho_tgt_ext is None:
-            # Fused df64 TPU path (transport/cdr_fused.py): pair-component
-            # bounds gather, per-cell records against the pair VALUES (join
-            # is exact, so the redistribute targets and the kernel's bounds
-            # agree), then the global-CAAS kernel and the fused
-            # limiter+DSS kernel. Reference flow: isl_cdr
-            # (slmmir_remapper_isl.cpp:1292-1455) with glbl_caas + local
-            # clip_and_sum.
-            nt_ = q.shape[0]
-            ndg = m.ncell * m.np2
-            mnh, mnl = df64.split_f64(q_min_cell)
-            mxh, mxl = df64.split_f64(q_max_cell)
-            qmm4 = jnp.stack([mnh, mnl, mxh, mxl])           # (4, nt, ncell)
-            qn4 = jnp.moveaxis(
-                jnp.moveaxis(qmm4, (0, 1), (-2, -1))[node_src_cell],
-                (-2, -1), (0, 1))                            # (4, nt, nc, np2)
-            qmnh = qn4[0].reshape(nt_, ndg)
-            qmnl = qn4[1].reshape(nt_, ndg)
-            qmxh = qn4[2].reshape(nt_, ndg)
-            qmxl = qn4[3].reshape(nt_, ndg)
-            q_min_n = df64.join_f64((qmnh, qmnl)).reshape(nt_, m.ncell,
-                                                          m.np2)
-            q_max_n = df64.join_f64((qmxh, qmxl)).reshape(nt_, m.ncell,
-                                                          m.np2)
-            rhom = (F * rho_tgt)[None]
-            Qc_min = jnp.sum(rhom * q_min_n, axis=-1)
-            Qc_max = jnp.sum(rhom * q_max_n, axis=-1)
-            Qc_mass = jnp.sum(F[None] * Q_tgt, axis=-1)
-            redist = cdr_fused.glbl_caas_tpu(
-                Qc_min, Qc_mass, Qc_max, Q_mass_src - Q_mass_tgt)
-            cg, q_new_flat = cdr_fused.limit_dss_tpu(
-                self.face_dss, q_tgt32_flat, rho_tgt.reshape(-1),
-                (qmnh, qmnl), (qmxh, qmxl), redist)
-            wf = (F * rho_tgt).reshape(-1)
-            q_out = self.face_dss._fix_q(cg, q_new_flat, wf, Ff).reshape(
-                q.shape)
-            return rho_tgt, q_out
 
         # Tracer-innermost bounds gather (wide rows; see q_tgt above).
         qmm = jnp.stack([q_min_cell, q_max_cell])            # (2, nt, ncell)
