@@ -44,21 +44,62 @@ def _aligned_segments(lo: int, hi: int):
 
 
 class BfbTreeAllReducer:
-    """Distributed completion of bfb_sum for contiguous equal-block
-    sharding of n leaves over n_shards devices."""
+    """Distributed completion of bfb_sum for contiguous block sharding of
+    n leaves over n_shards devices.
 
-    def __init__(self, n: int, n_shards: int):
-        assert n % n_shards == 0, (n, n_shards)
+    Ragged n (not divisible by n_shards) is supported: the block is
+    B = ceil(n / n_shards), the last shard's trailing pad slots must hold
+    ZEROS (they land on the global tree's zero-padding leaves), and the
+    result stays bitwise equal to bfb_sum on the global array."""
+
+    def __init__(self, n: int, n_shards: int, block: int = None,
+                 leaf_lists=None):
         self.n = n
         self.n_shards = n_shards
-        self.block = B = n // n_shards
         P = _next_pow2(n)
         self.P = P
         m = P.bit_length() - 1
-        # Per-shard maximal aligned segments of its block (clipped to n;
-        # leaves in [n, P) are padding zeros and contribute nothing).
-        seg_lists = [_aligned_segments(s * B, min((s + 1) * B, n))
-                     for s in range(n_shards)]
+        if leaf_lists is None:
+            # Contiguous blocks. An explicit block supports derived index
+            # spaces whose padding is inherited (e.g. DGLL slots = padded
+            # cells * np2: the slot block is cell_block * np2, not
+            # ceil(n_slots / n_shards)).
+            B = -(-n // n_shards) if block is None else block
+            self.block = B
+            assert (n_shards - 1) * B < n, (n, n_shards, B)  # no empty shard
+            # local_partials writes [s*B, s*B + B) into the P-leaf space;
+            # the pad tail [n, n_shards*B) carries zeros and must fit.
+            assert n_shards * B <= P, (n, n_shards, P)
+            # Per-shard maximal aligned segments of its block (clipped to
+            # n; leaves in [n, P) are padding zeros, contribute nothing).
+            seg_lists = [_aligned_segments(s * B, min((s + 1) * B, n))
+                         for s in range(n_shards)]
+            self._pos_tab = None
+        else:
+            # Scattered leaves (e.g. a 2-D face-tile layout): shard s owns
+            # the sorted global leaf list leaf_lists[s] (a partition of
+            # [0, n)); its block is the list padded to B, and its aligned
+            # segments are those of each maximal run of consecutive ids.
+            # The tree stays the canonical one, so results remain bitwise
+            # equal to bfb_sum / any other decomposition.
+            assert len(leaf_lists) == n_shards
+            B = max(len(l) for l in leaf_lists) if block is None else block
+            self.block = B
+            seg_lists = []
+            pos_tab = np.full((n_shards, B), P, np.int32)  # P = drop slot
+            for s, leaves in enumerate(leaf_lists):
+                leaves = np.asarray(leaves, np.int64)
+                assert len(leaves) >= 1 and len(leaves) <= B
+                assert (np.diff(leaves) > 0).all(), "sorted, unique"
+                pos_tab[s, :len(leaves)] = leaves
+                # Maximal runs of consecutive global ids.
+                brk = np.nonzero(np.diff(leaves) != 1)[0] + 1
+                segs = []
+                for run in np.split(leaves, brk):
+                    segs.extend(_aligned_segments(int(run[0]),
+                                                  int(run[-1]) + 1))
+                seg_lists.append(segs)
+            self._pos_tab = jnp.asarray(pos_tab)
         self.max_nseg = max(len(s) for s in seg_lists)
         # Pyramid layout: levels j = 0..m concatenated; offsets[j] is the
         # start of level j (level j has P >> j entries).
@@ -112,9 +153,15 @@ class BfbTreeAllReducer:
         assert B == self.block, (B, self.block)
         shape = x_block.shape[:-1] + (self.P,)
         w = jnp.zeros(shape, x_block.dtype)
-        start = (jnp.zeros((), jnp.int32),) * (x_block.ndim - 1) + (
-            (shard_index * B).astype(jnp.int32),)
-        w = jax.lax.dynamic_update_slice(w, x_block, start)
+        if self._pos_tab is None:
+            start = (jnp.zeros((), jnp.int32),) * (x_block.ndim - 1) + (
+                (shard_index * B).astype(jnp.int32),)
+            w = jax.lax.dynamic_update_slice(w, x_block, start)
+        else:
+            # Scattered leaves: place each local value at its global leaf
+            # position (pad slots point at P and are dropped).
+            w = w.at[..., self._pos_tab[shard_index]].set(
+                x_block, mode="drop")
         levels = [w]
         while w.shape[-1] > 1:
             w = w[..., 0::2] + w[..., 1::2]
@@ -153,8 +200,9 @@ class BfbTreeAllReducer:
 
 
 @lru_cache(maxsize=None)
-def get_reducer(n: int, n_shards: int) -> BfbTreeAllReducer:
-    return BfbTreeAllReducer(n, n_shards)
+def get_reducer(n: int, n_shards: int,
+                block: int = None) -> BfbTreeAllReducer:
+    return BfbTreeAllReducer(n, n_shards, block)
 
 
 def allreduce(x, axis: int = -1, axis_name=None):

@@ -20,10 +20,21 @@ cdr/bfb.py):
 
 Because the tree topology and every node's arithmetic are the global ones,
 the result is BITWISE equal to the single-chip QLT (cdr/qlt.py) for every
-contiguous equal-block decomposition - the reference's decomposition
-invariance contract (cedr_bfb_tree_allreduce.hpp:11-14) - while no
-full-length (nt, nnodes) array ever crosses chips: communication is the
-frontier gather, O(perimeter-free log n), not O(n).
+leaf->shard decomposition - the reference's decomposition invariance
+contract (cedr_bfb_tree_allreduce.hpp:11-14) - while no full-length
+(nt, nnodes) array ever crosses chips: communication is the frontier
+gather, O(perimeter-free log n), not O(n).
+
+Decompositions: the default is contiguous blocks, RAGGED when ncells is
+not divisible by n_shards (block B = ceil(ncells/n_shards); trailing pad
+slots are dead). An explicit `owner` leaf->shard array supports arbitrary
+(e.g. pseudorandom) decompositions - the reference's heavy-duty multi-rank
+stress ("forces the QLT tree to communicate, pack, and unpack in silly
+ways", cedr_tree.hpp:128-138; cedr-test-unit-mpi runs 111 cells on 8
+ranks, cedr/CMakeLists.txt:14-16). With a scattered owner map few internal
+nodes are shard-local, so most of the tree lands in the replicated "top" -
+correct (and what the stress tests exercise), just not the layout to pick
+for performance.
 """
 
 import numpy as np
@@ -33,19 +44,6 @@ import jax.numpy as jnp
 from . import tree as tree_mod
 from .qlt import (CONSERVE, NONNEGATIVE, SHAPEPRESERVE, CONSISTENT,
                   solve_node_problem)
-
-
-def _tree_spans(t):
-    """Leaf span [lo, hi) per node of a tree built leaves-first."""
-    lo = np.full(t.nnodes, -1, np.int64)
-    hi = np.full(t.nnodes, -1, np.int64)
-    lo[:t.nleaf] = np.arange(t.nleaf)
-    hi[:t.nleaf] = np.arange(t.nleaf) + 1
-    for ids, k0, k1 in t.levels:
-        ids, k0, k1 = map(np.asarray, (ids, k0, k1))
-        lo[ids] = lo[k0]
-        hi[ids] = np.where(k1 < 0, hi[k0], hi[np.maximum(k1, 0)])
-    return lo, hi
 
 
 class ShardedQLT:
@@ -60,8 +58,8 @@ class ShardedQLT:
 
     def __init__(self, ncells: int, n_shards: int,
                  problem_type: int = SHAPEPRESERVE,
-                 prefer_mass_con_to_bounds: bool = False):
-        assert ncells % n_shards == 0, (ncells, n_shards)
+                 prefer_mass_con_to_bounds: bool = False,
+                 owner: np.ndarray = None):
         assert n_shards >= 2, "use cdr.qlt.QLT for a single shard"
         pt = problem_type
         self.ncells = ncells
@@ -70,11 +68,41 @@ class ShardedQLT:
         self.prefer = prefer_mass_con_to_bounds
         t = tree_mod.build(ncells)
         self.tree = t
-        B = ncells // n_shards
+        if owner is None:
+            # Contiguous blocks, ragged when not divisible (pad slots at
+            # the tail of short shards are dead; the level schedules never
+            # reference them).
+            B = -(-ncells // n_shards)
+            owner = np.arange(ncells) // B
+        owner = np.asarray(owner, np.int64)
+        assert owner.shape == (ncells,)
+        counts = np.bincount(owner, minlength=n_shards)
+        # The reference's QLT rejects 0-cells-per-rank (cedr_qlt.cpp:235).
+        assert counts.min() >= 1, "every shard needs >= 1 leaf"
+        B = int(counts.max())
         self.block = B
+        # leaf_idx[s, i]: global leaf id of shard s's i-th local leaf slot
+        # (sorted global order; pads repeat slot 0's leaf and are dead).
+        leaf_idx = np.zeros((n_shards, B), np.int64)
+        leaf_slot = np.zeros(ncells, np.int64)
+        for s in range(n_shards):
+            mine = np.nonzero(owner == s)[0]
+            leaf_idx[s, :len(mine)] = mine
+            leaf_idx[s, len(mine):] = mine[0]
+            leaf_slot[mine] = np.arange(len(mine))
+        self.leaf_idx = leaf_idx
+        self.leaf_count = counts
+        self.owner_leaf = owner
 
-        lo, hi = _tree_spans(t)
-        owner = np.where((lo // B) == ((hi - 1) // B), lo // B, -1)
+        # Internal-node ownership: a node is shard-local iff all its
+        # leaves share one owner (propagated up the levels).
+        own = np.full(t.nnodes, -1, np.int64)
+        own[:t.nleaf] = owner
+        for ids, k0, k1 in t.levels:
+            ids, k0, k1 = map(np.asarray, (ids, k0, k1))
+            o0 = own[k0]
+            o1 = np.where(k1 < 0, o0, own[np.maximum(k1, 0)])
+            own[ids] = np.where(o0 == o1, o0, -1)
         # Parent map (for the frontier).
         parent = np.full(t.nnodes, -1, np.int64)
         for ids, k0, k1 in t.levels:
@@ -89,11 +117,11 @@ class ShardedQLT:
         loc_of = {}                       # global node id -> (shard, slot)
         nloc_int = np.zeros(n_shards, np.int64)
         for g in range(t.nleaf):
-            loc_of[g] = (g // B, g % B)
+            loc_of[g] = (int(owner[g]), int(leaf_slot[g]))
         for g in range(t.nleaf, t.nnodes):
-            s = owner[g]
+            s = own[g]
             if s >= 0:
-                loc_of[g] = (s, B + int(nloc_int[s]))
+                loc_of[g] = (int(s), B + int(nloc_int[s]))
                 nloc_int[s] += 1
         max_int = int(nloc_int.max())
         self.loc_size = B + max_int + 1   # + dummy slot
@@ -105,7 +133,7 @@ class ShardedQLT:
             ids, k0, k1 = map(np.asarray, (ids, k0, k1))
             rows = [[] for _ in range(n_shards)]
             for i, g in enumerate(ids):
-                s = owner[g]
+                s = own[g]
                 if s >= 0:
                     kk0 = loc_of[int(k0[i])][1]
                     kk1 = -1 if k1[i] < 0 else loc_of[int(k1[i])][1]
@@ -127,13 +155,12 @@ class ShardedQLT:
         # n_shards >= 2). Ordered by global id per shard; padded with D.
         frontier = [[] for _ in range(n_shards)]
         for g in range(t.nnodes):
-            s = owner[g] if g >= t.nleaf else g // B
-            if s >= 0 and (parent[g] < 0 or owner[parent[g]] < 0):
-                # leaves are owned by construction; owner[] of a leaf is its
-                # block. parent < 0 only for the root.
+            s = own[g]
+            if s >= 0 and (parent[g] < 0 or own[parent[g]] < 0):
+                # Leaves are always owned. parent < 0 only for the root.
                 if g != t.root:
                     frontier[s].append(g)
-        assert owner[t.root] < 0
+        assert own[t.root] < 0
         max_nf = max(len(f) for f in frontier)
         self.max_nf = max_nf
         fr_idx = np.full((n_shards, max_nf), D, np.int32)
@@ -145,7 +172,7 @@ class ShardedQLT:
         self.frontier_idx = jnp.asarray(fr_idx)
 
         # ---- Top structure: gathered frontier slots first, then top nodes.
-        top_nodes = [g for g in range(t.nleaf, t.nnodes) if owner[g] < 0]
+        top_nodes = [g for g in range(t.nleaf, t.nnodes) if own[g] < 0]
         F_tot = n_shards * max_nf
         tslot_of = dict(fslot_of)
         for i, g in enumerate(top_nodes):
@@ -157,7 +184,7 @@ class ShardedQLT:
             ids, k0, k1 = map(np.asarray, (ids, k0, k1))
             rows = [(tslot_of[int(g)], tslot_of[int(k0[i])],
                      -1 if k1[i] < 0 else tslot_of[int(k1[i])])
-                    for i, g in enumerate(ids) if owner[g] < 0]
+                    for i, g in enumerate(ids) if own[g] < 0]
             if not rows:
                 continue
             tids = np.array([r[0] for r in rows], np.int32)
@@ -168,11 +195,39 @@ class ShardedQLT:
         self.root_slot = tslot_of[t.root]
 
     # ------------------------------------------------------------------
+    def scatter_leaves(self, x, fill=0.0):
+        """Global (..., ncells) -> (..., n_shards * B) in the per-shard
+        leaf-slot layout `run` expects (shard-major; pad slots get `fill`).
+        For the dynamic-range problem types pad rhom with fill=1.0 (its
+        pad lanes are divided by; real lanes are untouched)."""
+        out = x[..., self.leaf_idx.reshape(-1)]
+        if fill is not None:
+            mask = (np.arange(self.block)[None, :]
+                    < self.leaf_count[:, None]).reshape(-1)
+            out = jnp.where(jnp.asarray(mask), out,
+                            jnp.asarray(fill, out.dtype))
+        return out
+
+    def gather_leaves(self, blocks):
+        """Inverse of scatter_leaves: (..., n_shards * B) block layout ->
+        global (..., ncells) (pad slots dropped)."""
+        mask = (np.arange(self.block)[None, :]
+                < self.leaf_count[:, None]).reshape(-1)
+        inv = np.zeros(self.ncells, np.int64)
+        inv[self.leaf_idx.reshape(-1)[mask]] = np.nonzero(mask)[0]
+        return blocks[..., jnp.asarray(inv)]
+
+    # ------------------------------------------------------------------
     def run(self, rhom, Qm, Qm_min=None, Qm_max=None, Qm_prev=None,
             root_extra=None, axis_name="cells"):
         """Inside shard_map: rhom (B,), Qm/Qm_min/Qm_max/Qm_prev (nt, B)
-        are this shard's leaf blocks. Returns (nt, B) leaf masses, bitwise
-        equal to QLT.run on the assembled global arrays."""
+        are this shard's leaf blocks in leaf_idx order (for the default
+        contiguous decomposition that is simply the global order; ragged /
+        custom decompositions lay data out with scatter_leaves). Pad slots
+        (beyond this shard's leaf_count) are dead: any finite values are
+        accepted and ignored, except that dynamic-range problem types
+        divide by rhom, whose pads must be nonzero. Returns (nt, B) leaf
+        masses, bitwise equal to QLT.run on the assembled global arrays."""
         pt = self.problem_type
         t = self.tree
         B = self.block

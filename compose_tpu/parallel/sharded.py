@@ -39,13 +39,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..cdr.bfb import get_reducer
+from ..cdr.bfb import BfbTreeAllReducer, get_reducer
 from ..cdr.qlt_sharded import ShardedQLT
 from ..cdr import qlt as qlt_mod
 from ..mesh import cubed_sphere
 from ..ops import sqr
 from ..transport import limiter as limiter_mod, spf, timeint
-from .halo import HaloMaps, halo_exchange
+from .halo import DssSlotExchange, HaloMaps, halo_exchange
 from .sharding import cell_mesh
 
 
@@ -68,7 +68,30 @@ class ShardedIsl:
     per cell per tracer, VERDICT r3 #5 / cedr_caas.cpp:203-209).
     """
 
-    def __init__(self, model, n_shards: int, depth: int = 2, mesh_dev=None):
+    @classmethod
+    def with_measured_halo(cls, model, n_shards: int, step_times,
+                           owner=None, margin_rings: int = 0,
+                           base_rings: int = 1, **kw):
+        """Build with a measured-footprint halo: integrate the departure
+        field at the run's (ts, tf) windows in `step_times`, take the
+        union of foreign source cells per shard (+ optional margin rings)
+        together with the balanced ring-`base_rings` neighborhood
+        (halo.measured_need_sets) - ~2/3 of the ring-2 volume at the
+        flagship size. coverage_ok still guards every step."""
+        from .halo import measured_need_sets
+
+        m = model.mesh
+        if owner is None:
+            B = -(-m.ncell // n_shards)
+            owner = np.arange(m.ncell) // B
+        dep = jax.jit(model._departure_data)
+        ci_list = [np.asarray(dep(t0, t1)[1]) for (t0, t1) in step_times]
+        need = measured_need_sets(m, owner, ci_list, model.d2c_map, m.np2,
+                                  margin_rings, n_shards, base_rings)
+        return cls(model, n_shards, owner=owner, need_sets=need, **kw)
+
+    def __init__(self, model, n_shards: int, depth: int = 2, mesh_dev=None,
+                 owner=None, need_sets=None):
         cfg = model.config
         m = model.mesh
         assert cfg.filter in ("caas", "qlt", "none", "caas-node",
@@ -81,15 +104,54 @@ class ShardedIsl:
         self.cfg = cfg
         self.m = m
         self.n_shards = n_shards
-        self.maps = HaloMaps(m, n_shards, depth)
+        # `owner`: optional cell->shard map (halo.tile_owner for the 2-D
+        # face-tile layout whose halo volume scales with tile perimeter);
+        # default contiguous linear blocks. State and per-cell tables are
+        # laid out in BLOCK order (shard-major per-shard sorted cell
+        # lists; identical to the global order for contiguous divisible
+        # decompositions).
+        self.maps = HaloMaps(m, n_shards, depth, owner=owner,
+                             need_sets=need_sets)
         self.B = self.maps.block
+        # Pad rows (ragged or tiled layouts) carry finite dummies (cell
+        # 0's geometry, zero state/weights) so every elementwise phase
+        # stays finite, contribute exactly 0.0 to the global BFB sums
+        # (weights are zero), resolve no DSS neighbor (mask4 False), and
+        # are dropped from the returned state.
+        self.pad = self.maps.ncell_pad - m.ncell
         self.mesh_dev = mesh_dev if mesh_dev is not None \
             else cell_mesh(n_shards)
-        self.r_slots = get_reducer(m.ncell * m.np2, n_shards)
-        self.r_cells = get_reducer(m.ncell, n_shards)
+        # Block-layout translation: global cell c lives at flat block slot
+        # inv_idx[c] = owner_shard * B + local_slot.
+        mp = self.maps
+        self._perm_flat = mp.perm.reshape(-1)
+        self._padmask = (np.arange(self.B)[None]
+                         >= mp.leaf_count[:, None]).reshape(-1)
+        self._inv_idx = jnp.asarray(
+            mp.owner * self.B + mp.leaf_slot)        # (ncell,)
+        # BFB reducers over the REAL global trees with block-order leaves
+        # (aligned-subtree fast path for contiguous blocks, run-structured
+        # scattered leaves for tiles).
+        if mp.contiguous:
+            self.r_slots = get_reducer(m.ncell * m.np2, n_shards,
+                                       block=self.B * m.np2)
+            self.r_cells = get_reducer(m.ncell, n_shards, block=self.B)
+        else:
+            np2_ = m.np2
+            slot_lists = [(l[:, None] * np2_
+                           + np.arange(np2_)[None]).reshape(-1)
+                          for l in mp.leaf_lists]
+            self.r_slots = BfbTreeAllReducer(m.ncell * np2_, n_shards,
+                                             block=self.B * np2_,
+                                             leaf_lists=slot_lists)
+            self.r_cells = BfbTreeAllReducer(m.ncell, n_shards,
+                                             block=self.B,
+                                             leaf_lists=mp.leaf_lists)
         if cfg.filter == "qlt":
             self.sqlt = ShardedQLT(m.ncell, n_shards,
-                                   problem_type=qlt_mod.SHAPEPRESERVE)
+                                   problem_type=qlt_mod.SHAPEPRESERVE,
+                                   owner=None if mp.contiguous
+                                   else mp.owner)
         else:
             self.sqlt = None
 
@@ -97,23 +159,34 @@ class ShardedIsl:
         # --- Static tables (host-built once).
         d2c = np.asarray(m.dgll2cgll)                    # (ncell, np2)
         self.node_xyz = jnp.asarray(
-            np.asarray(m.cgll_xyz)[d2c])                 # (ncell, np2, 3)
+            self._pad_cells(np.asarray(m.cgll_xyz)[d2c],
+                            mode="edge"))                # (ncell_p, np2, 3)
         c2d_idx = np.asarray(m.c2d_idx)                  # (cnn, 4)
         c2d_mask = np.asarray(m.c2d_mask)
         slots4 = c2d_idx[d2c.reshape(-1)]                # (ncell*np2, 4)
         # DSS weights in the MODEL's mass measure (dmc es -> dgbfi_sphere),
         # matching the single-chip FaceDss/_dss weights bitwise.
         Ff = np.asarray(model.F).reshape(-1)
-        self.cells4 = jnp.asarray(
-            (slots4 // np2).astype(np.int32).reshape(m.ncell, np2, 4))
-        self.k4 = jnp.asarray(
-            (slots4 % np2).astype(np.int32).reshape(m.ncell, np2, 4))
-        self.mask4 = jnp.asarray(
-            c2d_mask[d2c.reshape(-1)].reshape(m.ncell, np2, 4))
-        self.F4 = jnp.asarray(Ff[slots4].reshape(m.ncell, np2, 4))
+        self.mask4 = jnp.asarray(self._pad_cells(
+            c2d_mask[d2c.reshape(-1)].reshape(m.ncell, np2, 4)))
+        self.F4 = jnp.asarray(self._pad_cells(
+            Ff[slots4].reshape(m.ncell, np2, 4)))
+        # Padded runtime divisor tables (F zero, jac one on pads).
+        self.F_pad = jnp.asarray(self._pad_cells(np.asarray(model.F)))
+        self.jac_pad = jnp.asarray(self._pad_cells(
+            np.asarray(m.jac_node), fill=1.0))
         send_idx, remap = self.maps.jnp_tables()
         self.send_idx = send_idx
         self.remap = remap
+        # Slot-level DSS exchange tables (halo.DssSlotExchange): the DSS
+        # ships only the foreign coincident EDGE slots of boundary cells
+        # (~np per boundary cell) instead of whole ring-2 cells.
+        dssx = DssSlotExchange(self.maps, slots4, c2d_mask[d2c.reshape(-1)],
+                               np2)
+        self._dss_tabs = [jnp.asarray(t) for t in dssx.tabs]
+        self._dss_perms = dssx.perms
+        self.dss_halo_slots = dssx.halo_slots
+        self.eslots4_dss = jnp.asarray(dssx.eslots4)
         # Neighbor-wise exchange tables (integer constants - safe to close
         # over; only float DIVISOR tables must be runtime operands).
         self.halo_tabs, self.halo_perms = self.maps.ppermute_tables()
@@ -125,13 +198,31 @@ class ShardedIsl:
             d2c_flat = np.asarray(m.dgll2cgll).reshape(-1)
             vw = np.asarray(model.v_weights)[d2c_flat]
             voc = np.asarray(model.v_own_cell)[d2c_flat]
-            self.v_w_slot = jnp.asarray(vw.reshape(m.ncell, m.np2, -1))
-            self.v_oc_slot = jnp.asarray(
-                voc.reshape(m.ncell, m.np2).astype(np.int32))
+            self.v_w_slot = jnp.asarray(self._pad_cells(
+                vw.reshape(m.ncell, m.np2, -1), mode="edge"))
+            self.v_oc_slot = jnp.asarray(self._pad_cells(
+                voc.reshape(m.ncell, m.np2).astype(np.int32), mode="edge"))
         else:
             self.v_w_slot = self.v_oc_slot = None
         self._step_jit = None
         self._coverage_checked = set()
+
+    # ------------------------------------------------------------------
+    def _pad_cells(self, a, fill=0.0, mode="constant"):
+        """Lay a host (ncell, ...) table out in block order, padded to
+        (ncell_pad, ...). For contiguous divisible decompositions this is
+        the identity; ragged/tiled layouts gather per-shard cell lists.
+        Pad rows: mode='edge' repeats a real row (finite dummy geometry);
+        'constant' fills with `fill` (zero weights / unit Jacobians)."""
+        if self.pad == 0 and self.maps.contiguous:
+            return a
+        out = np.array(a[self._perm_flat])
+        if self._padmask.any():
+            if mode == "edge":
+                out[self._padmask] = a[0]
+            else:
+                out[self._padmask] = fill
+        return out
 
     # ------------------------------------------------------------------
     def coverage_ok(self, ts, tf):
@@ -166,18 +257,41 @@ class ShardedIsl:
                           P("cells", None, None),   # node_xyz
                           P("cells", None),         # F
                           P("cells", None),         # jac_node
-                          P("cells", None, None),   # cells4
-                          P("cells", None, None),   # k4
+                          P("cells", None, None),   # eslots4_dss
                           P("cells", None, None),   # mask4
                           P("cells", None, None),   # F4
                           P()),                     # remap
                 out_specs=(P("cells", None), P(None, "cells", None)),
                 check_vma=False)
 
+            pad = self.pad
+            contig = self.maps.contiguous
+            perm_j = jnp.asarray(self._perm_flat)
+            padm = jnp.asarray(self._padmask)
+            inv = self._inv_idx
+
             def stepfn(rho, q, ts, tf):
-                return body(rho, q, ts, tf, self.node_xyz, self.model.F,
-                            self.m.jac_node, self.cells4, self.k4,
-                            self.mask4, self.F4, self.remap)
+                if contig:
+                    # Block order == global order (+ zero tail if ragged).
+                    if pad:
+                        rho = jnp.pad(rho, ((0, pad), (0, 0)))
+                        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+                else:
+                    # Tiled layout: permute state into block order (pads
+                    # zeroed so their weighted contributions vanish).
+                    rho = jnp.where(padm[:, None], 0.0, rho[perm_j])
+                    q = jnp.where(padm[None, :, None], 0.0, q[:, perm_j])
+                rho_o, q_o = body(rho, q, ts, tf, self.node_xyz, self.F_pad,
+                                  self.jac_pad, self.eslots4_dss,
+                                  self.mask4, self.F4, self.remap)
+                if contig:
+                    if pad:
+                        rho_o = rho_o[:-pad]
+                        q_o = q_o[:, :-pad]
+                else:
+                    rho_o = rho_o[inv]
+                    q_o = q_o[:, inv]
+                return rho_o, q_o
 
             self._step_jit = jax.jit(stepfn)
         return self._step_jit(rho, q, ts, tf)
@@ -205,15 +319,30 @@ class ShardedIsl:
                                       self._gsum_cells)
         if self.cfg.filter == "mn2":
             # Replicated global n-dim QP over gathered per-cell records
-            # (O(ncell) scalars << state); slice out the local block.
+            # (O(ncell) scalars << state); slice out the local block. With
+            # a ragged decomposition the pads sit at the global tail of the
+            # gathered layout - slice them off so run_mn2 sees exactly the
+            # single-chip arrays (bitwise), then pad the solution back.
             s = jax.lax.axis_index("cells")
+            ncell = self.m.ncell
+            contig = self.maps.contiguous
 
             def gath(v):
                 g = jax.lax.all_gather(v, "cells", axis=v.ndim - 1)
-                return g.reshape(v.shape[:-1] + (-1,))
+                g = g.reshape(v.shape[:-1] + (-1,))
+                # Back to the exact single-chip global arrays (for tiled
+                # layouts via the inverse block permutation; pads drop).
+                return g[..., :ncell] if contig else g[..., self._inv_idx]
 
             out = spf.run_mn2(gath(Q_min), gath(Q_mass), gath(Q_max),
                               extra)
+            # Solution back to block order, padded to n_shards * B.
+            if contig:
+                if self.pad:
+                    out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                                  + [(0, self.pad)])
+            else:
+                out = out[..., jnp.asarray(self._perm_flat)]
             return jax.lax.dynamic_slice_in_dim(
                 out, s * self.B, self.B, axis=out.ndim - 1)
         squeeze = Q_mass.ndim == 1
@@ -290,28 +419,46 @@ class ShardedIsl:
         pc = dep_blk.reshape(dep_blk.shape[0], m.np_, m.np_, 3)
         return self.model._jacobian_cells(pc)
 
+    def _slot_halo_ext(self, st):
+        """Slot-level DSS exchange: st (C, B, np2) -> (C, B*np2 + H)
+        where H = dss_halo_slots foreign coincident slots (edge slots of
+        boundary cells only - ~np per boundary cell vs np2 for a whole
+        cell). One ppermute per shard-offset delta, copies only."""
+        s = jax.lax.axis_index("cells")
+        f = st.reshape(st.shape[0], -1)
+        parts = [f]
+        for tab, perm in zip(self._dss_tabs, self._dss_perms):
+            parts.append(jax.lax.ppermute(f[:, tab[s]], "cells", perm))
+        return jnp.concatenate(parts, axis=1)
+
     def _dss_rho_blk(self, rho_blk, eslots4, mask4, F4):
-        """Gather-formulation DSS of a (B, np2) density block: one ring-1
-        boundary exchange + the exact per-node arithmetic of
+        """Gather-formulation DSS of a (B, np2) density block: one
+        slot-level boundary exchange + the exact per-node arithmetic of
         dss.dss_gather."""
-        ext = self._halo_ext(rho_blk[None])[0]            # (B+H, np2)
-        vals = ext.reshape(-1)[eslots4]                   # (B, np2, 4)
+        ext = self._slot_halo_ext(rho_blk[None])[0]       # (B*np2+H,)
+        vals = ext[eslots4]                               # (B, np2, 4)
         w = jnp.where(mask4, F4, 0.0)
         num = jnp.sum(w * vals, axis=-1)
         den = jnp.sum(w, axis=-1)
-        cg = num / den
+        # den == 0 only on ragged pad rows (every real slot has a weighted
+        # coincident set); keep pads finite-zero so 0-weight products
+        # downstream stay 0, not NaN. Bitwise neutral on real rows.
+        ok = den > 0
+        cg = num / jnp.where(ok, den, 1.0)
         big = jnp.where(mask4, vals, -jnp.inf)
         small = jnp.where(mask4, vals, jnp.inf)
-        return jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+        cg = jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+        return jnp.where(ok, cg, 0.0)
 
     def _dss_q_blk(self, rho_blk, q_blk, eslots4, mask4, F4):
         """Gather-formulation mixing-ratio DSS (dss.dss_q_gather_t) with
-        one (rho, q) boundary exchange; tracer-innermost layout."""
+        one slot-level (rho, q) boundary exchange; tracer-innermost
+        layout."""
         nt = q_blk.shape[0]
         st = jnp.concatenate([rho_blk[None], q_blk], axis=0)
-        ext = self._halo_ext(st)                          # (nt+1, B+H, np2)
-        rho_f = ext[0].reshape(-1)
-        qT = jnp.moveaxis(ext[1:].reshape(nt, -1), 0, -1)  # (slots, nt)
+        ext = self._slot_halo_ext(st)                     # (nt+1, B*np2+H)
+        rho_f = ext[0]
+        qT = jnp.moveaxis(ext[1:], 0, -1)                 # (slots, nt)
         vals = qT[eslots4]                                # (B, np2, 4, nt)
         rho4 = rho_f[eslots4]
         w = jnp.where(mask4, F4 * rho4, 0.0)[..., None]
@@ -320,15 +467,19 @@ class ShardedIsl:
         w0 = jnp.where(mask4, F4, 0.0)[..., None]
         num0 = jnp.sum(w0 * vals, axis=-2)
         den0 = jnp.sum(w0, axis=-2)
+        # den0 == 0 only on ragged pad rows; see _dss_rho_blk.
+        ok0 = den0 > 0
         ok = den > 0
-        cg = jnp.where(ok, num / jnp.where(ok, den, 1.0), num0 / den0)
+        cg = jnp.where(ok, num / jnp.where(ok, den, 1.0),
+                       num0 / jnp.where(ok0, den0, 1.0))
         big = jnp.where(mask4[..., None], vals, -jnp.inf)
         small = jnp.where(mask4[..., None], vals, jnp.inf)
         cg = jnp.clip(cg, jnp.min(small, axis=-2), jnp.max(big, axis=-2))
+        cg = jnp.where(ok | ok0, cg, 0.0)
         return jnp.moveaxis(cg, -1, 0)                    # (nt, B, np2)
 
     # ------------------------------------------------------------------
-    def _body(self, rho, q, ts, tf, node_xyz, F, jac_node, cells4, k4,
+    def _body(self, rho, q, ts, tf, node_xyz, F, jac_node, eslots4,
               mask4, F4, remap):
         cfg, m = self.cfg, self.m
         s = jax.lax.axis_index("cells")
@@ -336,7 +487,6 @@ class ShardedIsl:
         B, np2 = rho.shape
         nt = q.shape[0]
         Ff = F.reshape(-1)
-        eslots4 = rmp[cells4] * np2 + k4                  # (B, np2, 4)
 
         # --- Halo exchange of the source state, issued FIRST: it depends
         # only on the inputs, and the departure-trajectory compute below

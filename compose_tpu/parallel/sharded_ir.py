@@ -41,7 +41,7 @@ from ..cdr import qlt as qlt_mod
 from ..mesh import cubed_sphere
 from ..ops import sphere
 from ..transport import limiter as limiter_mod, spf, timeint
-from ..transport.ir import (apply_T_contrib, mass_target_terms,
+from ..transport.ir import (apply_T_contrib, dot_last, mass_target_terms,
                             mass_solve_blk, solve_1eq_ls_blk)
 from .halo import HaloMaps, halo_exchange
 from .sharding import cell_mesh
@@ -60,6 +60,12 @@ class ShardedIr:
         assert cfg.filter in ("none", "caas", "qlt"), cfg.filter
         assert cfg.dmc != "geh", "dmc=geh: single-chip path"
         assert not m.nonuni, "nonuniform meshes: single-chip path"
+        # Ragged decompositions are supported by ShardedIsl (and the
+        # sharded QLT/BFB layers); the IR T-assembly's global-target
+        # scatter plumbing still assumes equal blocks.
+        assert m.ncell % n_shards == 0, (
+            f"ShardedIr needs ncell ({m.ncell}) divisible by n_shards "
+            f"({n_shards}); pick a divisor or use the ISL path")
         self.model = model
         self.cfg = cfg
         self.m = m
@@ -316,9 +322,14 @@ class ShardedIr:
             return jnp.moveaxis(y, 0, -2)
 
         def project(x):
-            xin = x * FsmoFtm if cfg.method == "ir" else x
             if model.facet:
-                xin = xin * Jt_src
+                # J first, then the density factor (the single-chip
+                # _project / reference apply_T_cell rounding order).
+                xin = x * Jt_src
+                if cfg.method == "ir":
+                    xin = xin * FsmoFtm
+            else:
+                xin = x * FsmoFtm if cfg.method == "ir" else x
             y = apply_T(xin)
             if cfg.dmc in ("es", "eh", "ef"):
                 xs = x[..., pair_src, :]
@@ -329,6 +340,14 @@ class ShardedIr:
                     dpm, seg_tgt, num_segments=B + 1)[:B], 0, -1)
                 c = F_mass_blk / Jt_blk if model.facet else F_mass_blk
                 out = solve_1eq_ls_blk(chol, y, c, d)
+            elif model.facet and cfg.method == "ir":
+                # dmc 'f' + IR: explicit per-cell enforcement of the exact-
+                # arithmetic facet mass identity w2' Mref^{-1} y = 1' y
+                # (see the single-chip _project for the drift analysis).
+                ones = jnp.ones(np2, y.dtype)
+                d = dot_last(jnp.broadcast_to(
+                    ones, y.shape[:-1] + (np2,)), y)
+                out = solve_1eq_ls_blk(chol, y, F_mass_blk / Jt_blk, d)
             else:
                 out = mass_solve_blk(chol, y)
             if model.facet:

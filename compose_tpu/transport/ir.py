@@ -480,11 +480,15 @@ class IrTransport:
         cfg, m = self.config, self.mesh
         F_mass, _, Jt = tables if tables is not None else (
             self.F_mass, self.F_sphere, self.ird.Jt)
-        xin = x * FsmoFtm if cfg.method == "ir" else x
         if self.facet:
             # Source field from the transport method's perspective is
-            # (Q J) (apply_T_cell :283-307).
-            xin = xin * Jt
+            # (Q J) (apply_T_cell :283-307); J first, then the density
+            # factor - the reference's rounding order (:291-300).
+            xin = x * Jt
+            if cfg.method == "ir":
+                xin = xin * FsmoFtm
+        else:
+            xin = x * FsmoFtm if cfg.method == "ir" else x
         y = self._apply_T(T, pair_src, pair_tgt, pair_mask, xin)
         if cfg.dmc in _EQ_LOCAL:
             # Local mass target = this cell's share of each source basis
@@ -501,6 +505,26 @@ class IrTransport:
             out = self._solve_1eq_ls(y, c, d)
         elif cfg.dmc == "geh":
             out = self._solve_glbl_eq(y, x)
+        elif self.facet and cfg.method == "ir":
+            # dmc 'f': conservation is the exact-arithmetic identity
+            # w2' Mref^{-1} y = 1' y (Mref 1 = w2, the partition of unity
+            # of the ref-square mass matrix) - the facet telescope
+            # (slmmir_remapper.cpp:244-307). In floating point the plain
+            # Cholesky solve carries a FIXED per-cell defect
+            # w2' Mhat^{-1} - 1', which biases the mass drift linearly in
+            # steps (measured ~7.8e-16/step). Enforce the identity
+            # explicitly with the same constrained solve the eq paths use
+            # (c'x = 1'y with c = F/Jt): in exact arithmetic the solution
+            # is unchanged (mu = 0), and the float drift drops an order of
+            # magnitude (96 steps: 7.5e-14 -> 3.8e-15, restoring the
+            # reference's 4e-14 tolerance, slmm_runtests.py:234). CDG's
+            # plain solve already meets its rows (and measured WORSE with
+            # the pinned mass: its T carries the Jacobian ratio, so 1'y is
+            # a noisier mass estimate there) - IR only.
+            ones = jnp.ones(m.np2, y.dtype)
+            d = dot_last(jnp.broadcast_to(ones, y.shape[:-1] + (m.np2,)),
+                         y)
+            out = self._solve_1eq_ls(y, F_mass / Jt, d)
         else:
             out = self._mass_solve(y)
         if self.facet:

@@ -134,11 +134,14 @@ class PRefineTransport:
         self.d2c_v = mv.dgll2cgll.reshape(-1)
         self.d2c_f = mf.dgll2cgll.reshape(-1)
 
-        if config.filter not in ("none",):
+        if config.filter in ("none", "caas-node"):
+            # caas-node is global-only (glbl_only_pve / glbl_only_lcldyn,
+            # slmmir_remapper_isl.cpp:366-445): no MassRedistributor.
+            self.mrd_v = self.mrd_f = None
+        else:
             self.mrd_v = spf.MassRedistributor(mv.ncell, config.filter)
             self.mrd_f = spf.MassRedistributor(mf.ncell, config.filter)
-        else:
-            self.mrd_v = self.mrd_f = None
+        self.run_cdr = config.filter != "none"
 
         self._step5 = jax.jit(self._step5_impl)
         self._step1 = jax.jit(self._step1_impl)
@@ -192,7 +195,13 @@ class PRefineTransport:
 
         F = self.F_v
         Ff = F.reshape(-1)
-        if self.mrd_v is not None:
+        if self.run_cdr and self.mrd_v is None:
+            # caas-node: uniform global mass restoration (glbl_only_pve,
+            # slmmir_remapper_isl.cpp:366-387 via isl_cdr_rho :1259).
+            mass_src = bfb_sum(Ff * rho_v.reshape(-1))
+            mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
+            rho_tgt = rho_tgt + (mass_src - mass_tgt) / bfb_sum(Ff)
+        elif self.mrd_v is not None:
             mass_src = bfb_sum(Ff * rho_v.reshape(-1))
             mass_tgt = bfb_sum(Ff * rho_tgt.reshape(-1))
             rho_mass, R_min, R_mass, R_max = spf.record(
@@ -246,7 +255,7 @@ class PRefineTransport:
         q_i = jnp.einsum('ncx,cx->nc', src, w_f)
         q_tgt = q_i[:, self.d2c_f].reshape(q_f.shape[0], mf.ncell, mf.np2)
 
-        if self.mrd_f is None:
+        if not self.run_cdr:
             return q_tgt
         F = self.F_f
         Ff = F.reshape(-1)
@@ -260,6 +269,25 @@ class PRefineTransport:
         node_src_cell = ci_f[self.d2c_f].reshape(mf.ncell, mf.np2)
         q_min_node = q_min_cell[:, node_src_cell]
         q_max_node = q_max_cell[:, node_src_cell]
+
+        if self.mrd_f is None:
+            # caas-node: node-granularity global-only CAAS on the fine
+            # grid (glbl_only_lcldyn, slmmir_remapper_isl.cpp:389-445 via
+            # the prefine isl_cdr leg :1628-1632) - clip each node's
+            # tracer mass to its source bounds, distribute the global
+            # discrepancy proportionally to remaining nodal headroom.
+            from ..ops import local_qp
+            lo = (q_min_node * rho_f_tgt[None]).reshape(nt, -1)
+            hi = (q_max_node * rho_f_tgt[None]).reshape(nt, -1)
+            aF = jnp.broadcast_to(Ff[None], lo.shape)
+            Qf = local_qp.caas_gsum(aF, Qm_src, lo, hi,
+                                    Q_tgt.reshape(nt, -1), gsum=bfb_sum)
+            Q_tgt = Qf.reshape(Q_tgt.shape)
+            rho_safe = jnp.where(rho_f_tgt == 0, 1.0, rho_f_tgt)
+            q_new = jnp.where(rho_f_tgt[None] == 0, q_min_node,
+                              Q_tgt / rho_safe[None])
+            return jnp.clip(q_new, q_min_node, q_max_node)
+
         rhom = F[None] * rho_f_tgt[None]
         Qc_min = jnp.sum(rhom * q_min_node, axis=-1)
         Qc_max = jnp.sum(rhom * q_max_node, axis=-1)
@@ -280,7 +308,7 @@ class PRefineTransport:
 
     # -- experiment 5: v-grid primary -------------------------------------
     def _step5_impl(self, rho_v, q_v, rho_f, q_f, ts, tf, first):
-        run_limit = self.mrd_f is not None
+        run_limit = self.run_cdr
         (vdep, ci_v, w_v), (ci_f, w_f) = self._departure(ts, tf)
         rho_v_tgt = self._transport_rho_v(rho_v, vdep, ci_v, w_v)
 

@@ -205,24 +205,38 @@ def test_caas_randomized(ncells):
     assert check(tracers, rhom, data, out) == 0
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
-def test_qlt_randomized_sharded(ndev):
+@pytest.mark.parametrize("ndev,ncells,decomp", [
+    (2, 112, "contig"), (8, 112, "contig"),
+    # The reference's cedr-test-unit-mpi fixture: 111 cells on 8 ranks -
+    # ragged (non-divisible) blocks, and the pseudorandom cell->rank map
+    # that "forces the QLT tree to communicate, pack, and unpack in silly
+    # ways" (cedr/CMakeLists.txt:14-16, cedr_tree.hpp:128-138,
+    # cedr_tree.cpp:366-375).
+    (8, 111, "contig"), (8, 111, "pseudorandom"),
+], ids=["div2", "div8", "ragged8", "procrandom8"])
+def test_qlt_randomized_sharded(ndev, ncells, decomp):
     """The full 6-type x 6-perturbation battery through the SHARDED QLT
     (incl. the dynamic-range consistent-only types - VERDICT r3 #5, the
     cedr-test-unit-mpi analogue, cedr_qlt.cpp:745-798): every type must
-    reproduce the single-chip QLT bitwise at ndev in {2, 8} and pass the
-    reference's checks."""
+    reproduce the single-chip QLT bitwise for contiguous (divisible and
+    ragged) and pseudorandom decompositions and pass the reference's
+    checks."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
     from compose_tpu.cdr.qlt_sharded import ShardedQLT
 
     assert len(jax.devices()) >= ndev
-    ncells = 112                      # divisible by 2 and 8
     rng = np.random.default_rng(42 + ncells)
     tracers = make_tracers()
     rhom, data = generate(rng, ncells, tracers)
     for t in tracers:
         perturb(rng, t, rhom, data[t.idx], ncells)
+    owner = None
+    if decomp == "pseudorandom":
+        owner = rng.integers(0, ndev, ncells)
+        for s in range(ndev):          # every shard needs >= 1 leaf
+            if not (owner == s).any():
+                owner[rng.integers(0, ncells)] = s
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("cells",))
     out = {}
     for pt in PTS:
@@ -235,14 +249,20 @@ def test_qlt_randomized_sharded(ndev):
                                         for t in group]))
         ref = np.asarray(solver.run(jnp.asarray(rhom), Qm, Qm_min, Qm_max,
                                     Qm_prev))
-        sq = ShardedQLT(ncells, ndev, problem_type=pt)
+        sq = ShardedQLT(ncells, ndev, problem_type=pt, owner=owner)
+        # Leaf-slot layout (scatter_leaves is the identity for the
+        # divisible contiguous case). Dynamic-range types divide by rhom,
+        # so its pad slots carry 1.0.
+        rb = sq.scatter_leaves(jnp.asarray(rhom), fill=1.0)
+        Qb, Qnb, Qxb, Qpb = (sq.scatter_leaves(x)
+                             for x in (Qm, Qm_min, Qm_max, Qm_prev))
         f = jax.jit(jax.shard_map(
             lambda rr, q, qn, qx, qp: sq.run(rr, q, qn, qx, Qm_prev=qp),
             mesh=mesh,
             in_specs=(P("cells"), P(None, "cells"), P(None, "cells"),
                       P(None, "cells"), P(None, "cells")),
             out_specs=P(None, "cells"), check_vma=False))
-        res = np.asarray(f(jnp.asarray(rhom), Qm, Qm_min, Qm_max, Qm_prev))
+        res = np.asarray(sq.gather_leaves(f(rb, Qb, Qnb, Qxb, Qpb)))
         assert (res == ref).all(), f"problem type {pt} not bitwise"
         for k, t in enumerate(group):
             out[t.idx] = res[k]

@@ -43,17 +43,12 @@ PORTED_ELSEWHERE = {
     "slmm_runtests.py:188 ir qlt slotted": "test_golden_ir_qlt_slotted",
 }
 
-WAIVERS = {
-    "slmm_runtests.py:159-160 prefine 5 es caas-node":
-        "prefine-5 runs the v/t two-grid pipeline whose redistributor "
-        "supports qlt/caas/mn2; caas-node is covered on the single-grid "
-        "path (rows :157-158 port) - l2/cv asserted via the caas row "
-        "(golden identical, 5.885e-3).",
-    "slmm_runtests.py:162 prefine 5 eh caas-node": "same as above (5.886e-3).",
-    "slmm_runtests.py:169-171 GllOffsetNodal caas-node x2":
-        "same caas-node-on-prefine-5 waiver; the GllOffsetNodal basis "
-        "itself is asserted by rows :166-168.",
-}
+# Round 5: the caas-node-on-prefine-5 waivers are gone - the two-grid
+# pipeline now runs the global-only nodal CDR (glbl_only_pve for rho,
+# glbl_only_lcldyn for tracers) on the fine mesh (transport/prefine.py),
+# and all four previously-waived rows are ROWS below at the reference
+# goldens.
+WAIVERS = {}
 
 # ---------------------------------------------------------------------------
 ROWS = [
@@ -96,14 +91,20 @@ ROWS = [
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
        dmc="eh", timeint="interp", prefine=0),
      D(l2=5.968e-3, cv_gll=2e-14)),
+    ("pref5_es_caasnode", ":160 prefine 5 es caas-node",
+     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
+       dmc="es", timeint="interp", prefine=5),
+     D(l2=5.885e-3, cv=4e-14)),
+    ("pref5_eh_caasnode", ":162 prefine 5 eh caas-node",
+     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
+       dmc="eh", timeint="interp", prefine=5),
+     D(l2=5.886e-3, cv_gll=2e-14)),
     ("pref5_none", ":164 prefine 5 no prop-pres",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="none", limiter="none",
        dmc="es", timeint="interp", prefine=5),
      D(l2=4.2e-3)),
     ("pref5_rotated", ":166 prefine 5 eh caas-node rotate-grid",
-     # caas-node -> caas on prefine-5 (see WAIVERS); the row's point is the
-     # rotated grid.
-     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
+     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
        dmc="eh", timeint="interp", prefine=5, rotate_grid=True),
      D(l2=5.886e-3, cv_gll=2e-14)),
     ("pref5_es_offset", ":168 prefine 5 es caas GllOffsetNodal",
@@ -112,6 +113,14 @@ ROWS = [
      D(l2=5.885e-3, cv=4e-14)),
     ("pref5_eh_offset", ":169 prefine 5 eh caas GllOffsetNodal",
      D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas", limiter="caas",
+       dmc="eh", timeint="interp", prefine=5, basis="GllOffsetNodal"),
+     D(l2=5.886e-3, cv_gll=2e-14)),
+    ("pref5_es_cn_offset", ":170 prefine 5 es caas-node GllOffsetNodal",
+     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
+       dmc="es", timeint="interp", prefine=5, basis="GllOffsetNodal"),
+     D(l2=5.885e-3, cv=4e-14)),
+    ("pref5_eh_cn_offset", ":171 prefine 5 eh caas-node GllOffsetNodal",
+     D(ne=6, np_=8, nsteps=13, ics=GH, filter_="caas-node", limiter="caas",
        dmc="eh", timeint="interp", prefine=5, basis="GllOffsetNodal"),
      D(l2=5.886e-3, cv_gll=2e-14)),
 
@@ -214,11 +223,12 @@ ROWS = [
     ("ir96_qlt_f", ":234 ir 96steps qlt dmc f",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="ir", dmc="f",
        filter_="qlt", limiter="mn2", d2c=False),
-     # ref cv_gll 4e-14. The facet IR projection here drifts a systematic
-     # ~7.8e-16/step (linear in steps; filter/limiter-independent) vs the
-     # reference's ~4.2e-16/step - the one remaining tolerance relaxation
-     # in the battery (measured: 12 steps 9.4e-15, 96 steps 7.5e-14).
-     D(l2=4.6e-1, cv_gll=1e-13, min=0.1, max=1.0)),
+     # Reference tolerance (slmm_runtests.py:234). The round-4 relaxation
+     # to 1e-13 (facet solve drift ~7.8e-16/step) was removed in round 5:
+     # dmc 'f' now enforces the exact-arithmetic facet mass identity per
+     # cell (transport/ir.py _project), cutting the drift ~17x
+     # (12 steps: 9.4e-15 -> 5.4e-16).
+     D(l2=4.6e-1, cv_gll=4e-14, min=0.1, max=1.0)),
     ("cdg96_qlt_ef", ":239 cdg 96steps qlt dmc ef -rit",
      D(ne=5, np_=4, nsteps=96, ics=SC, method="cdg", dmc="ef",
        filter_="qlt", limiter="mn2", observer_out="/tmp/rittest_cdg", d2c=False),

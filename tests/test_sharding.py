@@ -157,6 +157,132 @@ def test_designed_sharded_step_bitwise_configs(kw):
         assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
 
 
+@pytest.mark.parametrize("filt", ["caas", "qlt", "caas-node"])
+def test_designed_sharded_step_bitwise_ragged(filt):
+    """Ragged decomposition (ncell NOT divisible by n_shards): ne=5 gives
+    150 cells over 8 devices (B=19, last shard 17 + 2 inert pad cells).
+    The step must stay BITWISE equal to the single chip - the
+    non-divisible analogue of cedr-test-unit-mpi's 111-cells-on-8-ranks
+    fixture (cedr/CMakeLists.txt:14-16). VERDICT r4 #2."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ndev = 8
+    assert len(jax.devices()) >= ndev
+    mesh = cubed_sphere.build(5, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=5, np_=4, filter=filt, limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "slottedcylinders",
+                                   "cosinebells"))
+    dt = 86400.0 * 12 / 240
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    sh = ShardedIsl(model, ndev)
+    assert sh.pad == 2 and sh.B == 19, (sh.B, sh.pad)
+    assert sh.coverage_ok(0.0, dt)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
+@pytest.mark.parametrize("filt", ["caas", "qlt"])
+def test_designed_sharded_step_bitwise_tiles(filt):
+    """The 2-D face-tile layout (halo.tile_owner: recursive coordinate
+    bisection; VERDICT r4 #5) must reproduce the single chip BITWISE like
+    the strip layout does, with a SMALLER halo (perimeter scaling)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.halo import HaloMaps, tile_owner
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ndev = 8
+    assert len(jax.devices()) >= ndev
+    ne = 8
+    mesh = cubed_sphere.build(ne, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=4, filter=filt, limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "slottedcylinders",
+                                   "cosinebells"))
+    dt = 86400.0 * 12 / 240
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    ow = tile_owner(mesh, ndev)
+    sh = ShardedIsl(model, ndev, owner=ow)
+    assert not sh.maps.contiguous
+    assert sh.coverage_ok(0.0, dt)
+    # Perimeter scaling: tiles beat strips on per-chip halo volume.
+    strip = HaloMaps(mesh, ndev, depth=2)
+    assert sh.maps.halo_size < strip.halo_size, (
+        sh.maps.halo_size, strip.halo_size)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
+def test_designed_sharded_step_bitwise_measured_halo():
+    """Measured-footprint halo (ShardedIsl.with_measured_halo +
+    halo.measured_need_sets): the need set is the union of the sampled
+    steps' actual departure reads + 1 safety ring - typically about half
+    the ring-2 volume - and the step stays BITWISE vs the single chip."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.halo import HaloMaps, tile_owner
+    from compose_tpu.parallel.sharded import ShardedIsl
+
+    ndev = 8
+    assert len(jax.devices()) >= ndev
+    ne = 8
+    mesh = cubed_sphere.build(ne, 4)
+    wind = gallery.create_wind("divergent")
+    cfg = IslConfig(ne=ne, np_=4, filter="caas", limiter="caas",
+                    rho_isl=True, nsub=2)
+    model = IslTransport(mesh, wind, cfg)
+    model.face_dss = None
+    rho = jnp.ones((mesh.ncell, mesh.np2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "cosinebells"))
+    dt = 86400.0 * 12 / 240
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    ow = tile_owner(mesh, ndev)
+    sh = ShardedIsl.with_measured_halo(
+        model, ndev, step_times=[(0.0, dt), (dt, 2 * dt)], owner=ow)
+    assert sh.coverage_ok(0.0, dt)
+    ring2 = HaloMaps(mesh, ndev, depth=2, owner=ow)
+    assert sh.maps.halo_size <= ring2.halo_size, (
+        sh.maps.halo_size, ring2.halo_size)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
+def test_flagship_ne30_shards_over_16():
+    """The flagship ne30 mesh (5400 cells) now decomposes over 16 (and 32)
+    shards - the divisibility restriction VERDICT r4 #2 called out. Static
+    construction only (the virtual mesh here has 8 devices; the driver's
+    dryrun exercises execution): halo maps, ragged blocks, remap tables,
+    sharded QLT, and BFB reducers must all build consistently."""
+    from compose_tpu.cdr.bfb import BfbTreeAllReducer
+    from compose_tpu.cdr.qlt_sharded import ShardedQLT
+    from compose_tpu.parallel.halo import HaloMaps
+    from compose_tpu.mesh import cubed_sphere
+
+    mesh = cubed_sphere.build(30, 4)
+    for ns in (16, 32):
+        maps = HaloMaps(mesh, ns, depth=2)
+        B = -(-5400 // ns)
+        assert maps.block == B and maps.ncell_pad == ns * B
+        # Remap covers every real cell of every shard.
+        assert maps.remap.shape == (ns, 5400)
+        sq = ShardedQLT(5400, ns)
+        assert sq.block == B
+        assert int(sq.leaf_count.sum()) == 5400
+        r = BfbTreeAllReducer(5400 * 16, ns, block=B * 16)
+        assert r.block == B * 16
+
+
 def test_designed_sharded_step_comm_fraction():
     """The halo exchange is O(perimeter), not O(area): at fixed shard
     count the exchanged fraction shrinks ~1/ne as the mesh refines (the
