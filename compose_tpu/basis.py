@@ -75,6 +75,17 @@ def lagrange_eval_np(xnodes, x):
     return v
 
 
+def _prod_chain(t):
+    """prod over the last axis as an explicit left-to-right multiply chain.
+    jnp.prod lowers to a reduce whose association is batch-shape-dependent
+    (np>=8 showed ulp-level differences between the single-chip and the
+    per-shard-block basis evals); a chain is fusion- and batch-stable."""
+    acc = t[..., 0]
+    for j in range(1, t.shape[-1]):
+        acc = acc * t[..., j]
+    return acc
+
+
 def _lagrange_eval(xnodes, x):
     """JAX Lagrange basis eval, exact at nodes: x (...,) -> (..., m).
     Computes in x's dtype (f32 geometry pipelines stay f32)."""
@@ -83,8 +94,8 @@ def _lagrange_eval(xnodes, x):
     d = x[..., None] - xn  # (..., m)
     v = []
     for i in range(m):
-        num = jnp.prod(jnp.concatenate(
-            [d[..., :i], d[..., i + 1:]], axis=-1), axis=-1)
+        num = _prod_chain(jnp.concatenate(
+            [d[..., :i], d[..., i + 1:]], axis=-1))
         den = jnp.prod(jnp.asarray(
             [xn[i] - xn[j] for j in range(m) if j != i]))
         v.append(num / den)
@@ -106,8 +117,8 @@ def _lagrange_eval_derivative(xnodes, x):
                 continue
             idx = [j for j in range(m) if j != i and j != k]
             if idx:
-                term = jnp.prod(
-                    jnp.stack([d[..., j] for j in idx], axis=-1), axis=-1)
+                term = _prod_chain(
+                    jnp.stack([d[..., j] for j in idx], axis=-1))
             else:
                 term = jnp.ones_like(x)
             acc = acc + term

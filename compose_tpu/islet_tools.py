@@ -143,6 +143,108 @@ class MaxEigComputer:
         return float(np.max(spectral_radius(mats)))
 
 
+def bloch_max_eig_amp(basis, ne: int = 96, ndx: int = 64):
+    """Bloch-wave stability analysis (islet_maxeigcomp.{hpp,cpp}, bloch
+    namespace :165-252): on a UNIFORM mesh the 1-D ISL operator is block
+    circulant, so its spectrum is the union over the ne wavenumbers
+    mu = exp(2 pi i k / ne) of the (np-1)-dim eigenvalues of
+
+        B(mu)[r, c] = mu^{s(r)} A[r, c] + (c == 0) mu^{s(r)+1} A[r, np-1]
+
+    where A is the (np-1) x np kernel block (each interior node's basis row
+    at its shifted ref coordinate, wrapped across the cell), and s(r) is 0
+    for rows still in the cell (r < K) and 1 for wrapped rows. O(ne (np-1)^3)
+    instead of one (ne (np-1))^3 eigensolve, so much larger ne sweeps are
+    affordable. Returns max |lambda| over ndx Courant offsets in (0, 1)."""
+    import jax.numpy as jnp
+    np_ = basis.np
+    xg = np.asarray(basis.x)
+    npm1 = np_ - 1
+    worst = 0.0
+    ks = np.arange(ne)
+    mus = np.exp(2j * np.pi * ks / ne)                   # (ne,)
+    for dx in (np.arange(ndx) + 0.5) / ndx:
+        # K = number of nodes still inside the cell after the shift
+        # (bloch::get_K, islet_maxeigcomp.cpp:168-176).
+        K = int(np.sum(xg + 2 * dx < 1))
+        refs = xg[:npm1] + 2 * dx
+        refs = np.where(refs >= 1, refs - 2, refs)
+        A = np.asarray(basis.eval(jnp.asarray(refs)))    # (npm1, np)
+        B = np.empty((ne, npm1, npm1), complex)
+        B[:, :K, :] = A[None, :K, :npm1]
+        B[:, K:, :] = mus[:, None, None] * A[None, K:, :npm1]
+        B[:, :K, 0] += mus[:, None] * A[None, :K, npm1]
+        B[:, K:, 0] += (mus * mus)[:, None] * A[None, K:, npm1]
+        ev = np.linalg.eigvals(B)
+        worst = max(worst, float(np.max(np.abs(ev))))
+    return worst
+
+
+class MetricsTracker:
+    """Pareto filter over (accuracy metrics, PUM) candidates
+    (islet_xnodes_metrics.{hpp,cpp}:84-188): nbin log-spaced PUM bins from
+    1 down to machine eps; per bin, the best (a_1, a_2, a_inf) seen. A
+    candidate is worth keeping if it improves any metric in any bin whose
+    PUM level it meets - the search's replacement for a single scalar
+    threshold."""
+
+    nmet, nbin = 3, 30
+
+    def __init__(self, np_: int = 0, very_strict: bool = False):
+        eps = np.finfo(np.float64).eps
+        fac = eps ** (1.0 / self.nbin)
+        self.pum_bins = np.empty(self.nbin + 1)
+        self.pum_bins[0] = 1.0
+        for i in range(self.nbin):
+            self.pum_bins[i + 1] = self.pum_bins[i] * fac
+        self.best = np.full((self.nbin, self.nmet), np.inf)
+        self.pum_max = 1.0
+        self.pum_min = 1.0
+
+    def set_pum_max(self, pum_max: float):
+        assert 0 < pum_max <= 1
+        self.pum_max = pum_max
+
+    def acceptable_metrics(self, metrics) -> bool:
+        """Could these metrics update SOME bin (before knowing the PUM)?"""
+        return bool((np.asarray(metrics)[None, :] < self.best).any())
+
+    def pum_to_accept(self, metrics) -> float:
+        """The PUM a candidate with these metrics must beat to update."""
+        m = np.asarray(metrics)
+        for b in range(self.nbin):
+            if (m < self.best[b]).any():
+                return min(self.pum_max, float(self.pum_bins[b]))
+        return 0.0
+
+    def would_update(self, metrics, pum: float) -> bool:
+        if pum > self.pum_max:
+            return False
+        b = 0
+        while b < self.nbin - 1 and pum < self.pum_bins[b + 1]:
+            b += 1
+        return bool((np.asarray(metrics) < self.best[b]).any())
+
+    def update(self, metrics, pum: float):
+        m = np.asarray(metrics)
+        updated = False
+        for b in range(self.nbin):
+            if pum > self.pum_bins[b]:
+                break
+            sel = m < self.best[b]
+            if sel.any():
+                self.best[b][sel] = m[sel]
+                updated = True
+        if updated:
+            self.pum_min = min(self.pum_min, pum)
+
+    def get_metrics(self, pum: float):
+        b = 0
+        while b < self.nbin and pum <= self.pum_bins[b]:
+            b += 1
+        return self.best[max(0, b - 1)].copy()
+
+
 def pum_metric(basis, ne: int = 6, n_mesh: int = 8, ndx: int = 16,
                perturb: float = 0.25, seed: int = 0):
     """Perturbed-uniform-mesh stability metric lambda_max^PUM
@@ -335,6 +437,39 @@ class NodalSubsetBasis:
             o = np_ - i - 1
             integral[i] = integral[o] = 0.5 * (integral[i] + integral[o])
         return integral
+
+
+def enumerate_nodal_candidates(np_: int, subnp_sig):
+    """All general node-subset bases with the region signature `subnp_sig`
+    (region i's subset must contain the region endpoints i, i+1 -
+    NsbSearchAtom's constraint in search.cpp). Yields subset tuples."""
+    import itertools
+
+    per_region = []
+    for i, sub in enumerate(subnp_sig):
+        others = [k for k in range(np_) if k not in (i, i + 1)]
+        per_region.append([tuple(sorted((i, i + 1) + extra))
+                           for extra in itertools.combinations(others,
+                                                               sub - 2)])
+    return itertools.product(*per_region)
+
+
+def evaluate_nodal_candidate(np_: int, subsets, stab_ne: int = 96,
+                             stab_ndx: int = 24, tol: float = 1e-9,
+                             pum_kw=None):
+    """Stability (Bloch), weight positivity, accuracy metrics, and PUM for
+    one node-subset basis - the per-candidate work of the reference's
+    search loop. Returns None if unstable or weights are not positive."""
+    b = NodalSubsetBasis(np_, subsets)
+    if np.any(b.w <= 0):
+        return None
+    lam = bloch_max_eig_amp(b, ne=stab_ne, ndx=stab_ndx)
+    if lam > 1 + tol:
+        return None
+    a1, a2, ainf = calc_xnodes_metrics(np.asarray(b.x), subsets)
+    pum = pum_metric(b, **(pum_kw or dict(ne=4, n_mesh=3, ndx=8)))
+    return dict(subsets=subsets, meam1=max(lam - 1.0, 0.0),
+                a1=a1, a2=a2, ainf=ainf, pum=max(pum - 1.0, 0.0))
 
 
 def search_nodal_given_bestosn(np_: int, ne: int = 5, ndx: int = 24,

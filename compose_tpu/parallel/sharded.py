@@ -504,18 +504,24 @@ class ShardedIsl:
         # --- Density transport (mirrors _step_impl incl. the f32 fast
         # path; cast-then-gather here equals the single chip's
         # cast-then-gather since the halo ships the original f64 values).
+        # np > 4 contracts via the explicit chain (see
+        # IslTransport._interp: einsum's wide reduction is
+        # batch-shape-dependent, breaking the bitwise contract at np8).
+        contract = (self.model._interp_chain if m.np_ > 4
+                    else (lambda s_, w_: jnp.einsum('...cx,cx->...c',
+                                                    s_, w_)))
         if cfg.rho_isl:
             if cfg.interp_dtype == "f32":
                 f32 = jnp.float32
                 rho_src = rho_ext.astype(f32)[loc]
-                rho_dep = jnp.einsum('cx,cx->c', rho_src, w.astype(f32))
+                rho_dep = contract(rho_src, w.astype(f32))
                 Jdep = self._jacobian_blk(dep.reshape(B, np2, 3))
                 ratio32 = Jdep.astype(f32) / jac_node.astype(f32)
                 rho_tgt = (ratio32 * rho_dep.reshape(B, np2)).astype(
                     jnp.float64)
             else:
                 rho_src = rho_ext[loc]                    # (B*np2, np2)
-                rho_dep = jnp.einsum('cx,cx->c', rho_src, w)
+                rho_dep = contract(rho_src, w)
                 Jdep = self._jacobian_blk(dep.reshape(B, np2, 3))
                 ratio = Jdep.astype(jac_node.dtype) / jac_node
                 rho_tgt = ratio * rho_dep.reshape(B, np2)
@@ -525,10 +531,9 @@ class ShardedIsl:
         # --- Tracer interpolation (mirrors _step_impl's gather+einsum).
         if cfg.interp_dtype == "f32":
             q_src = q_ext.astype(jnp.float32)[:, loc, :]
-            qi = jnp.einsum('ncx,cx->nc', q_src,
-                            w.astype(jnp.float32)).astype(jnp.float64)
+            qi = contract(q_src, w.astype(jnp.float32)).astype(jnp.float64)
         else:
-            qi = jnp.einsum('ncx,cx->nc', q_ext[:, loc, :], w)
+            qi = contract(q_ext[:, loc, :], w)
         q_tgt = qi.reshape(nt, B, np2)
 
         if cfg.filter == "none":

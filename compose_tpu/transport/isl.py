@@ -240,9 +240,21 @@ class IslTransport:
 
     def _interp(self, field, ci, w):
         """field: (..., ncell, np2) -> (..., cnn) interpolated at departure
-        points."""
+        points. np > 4 uses an explicit left-to-right chain: einsum's
+        64-wide reduction lowers batch-shape-dependently, breaking the
+        sharded bitwise contract (np4's 16-wide contraction is stable, and
+        it is the bench's hot kernel - keep einsum there)."""
         src = field[..., ci, :]                      # (..., cnn, np2)
+        if self.mesh.np_ > 4:
+            return self._interp_chain(src, w)
         return jnp.einsum('...cx,cx->...c', src, w)
+
+    @staticmethod
+    def _interp_chain(src, w):
+        acc = src[..., 0] * w[..., 0]
+        for k in range(1, w.shape[-1]):
+            acc = acc + src[..., k] * w[..., k]
+        return acc
 
     def _dss(self, field, F=None):
         """DSS of a (ncell, np2) or (nt, ncell, np2) field.
@@ -408,7 +420,9 @@ class IslTransport:
         else:
             rho_tgt = rho
         t["dss_q"], _ = tm(jax.jit(self._dss_q), rho_tgt, q_tgt)
-        t["full step"], _ = tm(self._step, rho, q, ts, tf)
+        # The PRODUCTION step (mesh tables threaded as runtime operands -
+        # the constant-folded variant compiles to a different program).
+        t["full step"], _ = tm(lambda *a: self.step(*a), rho, q, ts, tf)
         t["cdr+limiter (residual)"] = t["full step"] - sum(
             v for k, v in t.items() if k != "full step")
         return t

@@ -118,3 +118,81 @@ def test_search_nodal_given_bestosn_np4():
     assert abs(best["a1"] - 1.575830e-02) < 1e-7
     assert best["meam1"] < 1e-9
     assert best["pum"] < 1e-9
+
+
+def test_bloch_matches_full_mesh_spectrum():
+    """The Bloch-wave stability analysis (islet_maxeigcomp.cpp:165-252):
+    the uniform-mesh ISL operator is block circulant, so its spectrum is
+    exactly the union over the ne wavenumbers of the (np-1)-dim B(mu)
+    eigenvalues - max |lambda| must match the full-mesh eigensolve to
+    rounding, at a fraction of the cost."""
+    import numpy as np
+    from compose_tpu import basis as basis_mod
+
+    for bas, ne in [(basis_mod.GLL(4), 5),
+                    (basis_mod.create("GllNodal", 4), 5)]:
+        full = islet_tools.MaxEigComputer(bas).max_eig_amp(ne, ndx=8)
+        bloch = islet_tools.bloch_max_eig_amp(bas, ne=ne, ndx=8)
+        assert abs(full - bloch) < 1e-8, (bas.name, full, bloch)
+    # And it resolves the classic result: GLL np4 unstable, Islet stable.
+    assert islet_tools.bloch_max_eig_amp(basis_mod.GLL(4), ne=24,
+                                         ndx=16) > 1 + 1e-4
+    assert islet_tools.bloch_max_eig_amp(basis_mod.create("GllNodal", 4),
+                                         ne=24, ndx=16) <= 1 + 1e-9
+
+
+def test_metrics_tracker_semantics():
+    """MetricsTracker pareto filter (islet_xnodes_metrics.cpp:84-188):
+    log-spaced PUM bins, per-bin best metrics, update/would_update
+    contract."""
+    mt = islet_tools.MetricsTracker(6)
+    assert mt.pum_bins[0] == 1.0
+    assert abs(mt.pum_bins[-1] - np.finfo(np.float64).eps) < 1e-30
+    m1 = [1e-3, 1e-3, 1e-3]
+    assert mt.acceptable_metrics(m1)
+    assert mt.would_update(m1, 1e-6)
+    mt.update(m1, 1e-6)
+    # Worse metrics at a no-better pum: rejected.
+    assert not mt.would_update([2e-3, 2e-3, 2e-3], 1e-6)
+    # Worse metrics at a much better pum: accepted (different bin).
+    assert mt.would_update([2e-3, 2e-3, 2e-3], 1e-12)
+    # Better metrics anywhere: accepted.
+    assert mt.would_update([1e-4, 2e-3, 2e-3], 1e-6)
+    # pum above pum_max: rejected.
+    mt.set_pum_max(1e-8)
+    assert not mt.would_update([1e-5] * 3, 1e-6)
+
+
+@pytest.mark.slow
+def test_np6_embedded_table_is_derivable():
+    """The completeness proof for L10 (VERDICT r4 #9): the np=6 GllNodal
+    node subsets shipped in basis.py (= slmm_islet.cpp:178-204's tables,
+    derived offline by the reference's search) are REPRODUCED by the
+    in-repo search machinery - the embedded basis is generated by the
+    candidate enumeration for its region signature, passes the stability
+    + positive-weights filters, and is pareto-undominated under the
+    MetricsTracker built from every other candidate."""
+    from compose_tpu.basis import _GLL_NODAL_SUBSETS
+
+    np_ = 6
+    embedded = tuple(tuple(s) for s in _GLL_NODAL_SUBSETS[np_])
+    sig = tuple(len(s) for s in embedded)           # (5, 5, 6)
+    cands = list(islet_tools.enumerate_nodal_candidates(np_, sig))
+    assert embedded in cands
+    results = {}
+    for subsets in cands:
+        r = islet_tools.evaluate_nodal_candidate(np_, subsets)
+        if r is not None:
+            results[subsets] = r
+    # The shipped basis passes the search's own filters...
+    assert embedded in results, "embedded basis rejected by the filters"
+    emb = results[embedded]
+    # ...and no other candidate pareto-dominates it: a tracker fed every
+    # OTHER accepted candidate still accepts the embedded one.
+    mt = islet_tools.MetricsTracker(np_)
+    for subsets, r in results.items():
+        if subsets != embedded:
+            mt.update([r["a1"], r["a2"], r["ainf"]], r["pum"])
+    assert mt.would_update([emb["a1"], emb["a2"], emb["ainf"]],
+                           emb["pum"]), \
+        "embedded basis dominated - table not reproduced"

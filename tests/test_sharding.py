@@ -520,10 +520,16 @@ def test_designed_sharded_step_interp_timeint_bitwise():
 
 
 def test_designed_sharded_step_np8():
-    """np=8 (np2=64): XLA lowers the 64-wide per-cell reductions
-    differently for the block batch than the full batch, worth a few ulp
-    (np=4 is exactly 0 - see the tests above). Pin at 4 ulp; conservation
-    and bounds are enforced identically on both sides."""
+    """np=8: pinned at 4 ulp (np=4 is exactly 0 - see the tests above).
+    Round-5 investigation: the residue enters through the REGION-WISE
+    BASIS EVAL (w differs by 1 ulp between the full-batch and per-shard
+    programs even though its inputs are bitwise identical and the eval in
+    ISOLATION is batch-size-invariant) - XLA:CPU context-dependent
+    codegen, not a reduction order under program control; explicit
+    product/contraction chains (basis._prod_chain, IslTransport
+    ._interp_chain) and optimization_barrier isolation were all tried and
+    narrowed but did not remove it. Conservation and bounds are enforced
+    identically on both sides."""
     from compose_tpu.mesh import cubed_sphere
     from compose_tpu.parallel.sharded import ShardedIsl
 
