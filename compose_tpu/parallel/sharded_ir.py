@@ -60,21 +60,19 @@ class ShardedIr:
         assert cfg.filter in ("none", "caas", "qlt"), cfg.filter
         assert cfg.dmc != "geh", "dmc=geh: single-chip path"
         assert not m.nonuni, "nonuniform meshes: single-chip path"
-        # Ragged decompositions are supported by ShardedIsl (and the
-        # sharded QLT/BFB layers); the IR T-assembly's global-target
-        # scatter plumbing still assumes equal blocks.
-        assert m.ncell % n_shards == 0, (
-            f"ShardedIr needs ncell ({m.ncell}) divisible by n_shards "
-            f"({n_shards}); pick a divisor or use the ISL path")
         self.model = model
         self.cfg = cfg
         self.m = m
         self.n_shards = n_shards
+        # Contiguous blocks, ragged when ncell % n_shards != 0 (the last
+        # shard carries inert pad cells, like ShardedIsl: zero weights,
+        # duplicate-id ext slots masked by src_real, outputs sliced).
         self.maps = HaloMaps(m, n_shards, depth)
         self.B = B = self.maps.block
+        self.pad = self.maps.ncell_pad - m.ncell
         self.mesh_dev = mesh_dev if mesh_dev is not None \
             else cell_mesh(n_shards)
-        self.r_cells = get_reducer(m.ncell, n_shards)
+        self.r_cells = get_reducer(m.ncell, n_shards, block=B)
         if cfg.filter == "qlt":
             self.sqlt = ShardedQLT(m.ncell, n_shards,
                                    problem_type=qlt_mod.SHAPEPRESERVE)
@@ -88,12 +86,14 @@ class ShardedIr:
         # --- Static per-shard source enumeration: ext layout = [local |
         # per-delta halo buffers] (the halo_exchange/remap layout), plus a
         # permutation into GLOBAL id order so the pair enumeration matches
-        # the single chip's (src, cand) order exactly.
+        # the single chip's (src, cand) order exactly. Ragged pad slots
+        # repeat the shard's first cell id; the duplicate is masked by
+        # `src_real` below.
         E = B + self.maps.halo_size
         ext_global = np.zeros((n_shards, E), np.int64)
         remap_np = self.maps.remap
         for s in range(n_shards):
-            ext_global[s, :B] = np.arange(s * B, (s + 1) * B)
+            ext_global[s, :B] = self.maps.perm[s]
             halo_ids = np.where(remap_np[s] >= B)[0]
             ext_global[s, remap_np[s][halo_ids]] = halo_ids
             # Padded halo slots keep global id 0; `src_real` masks them.
@@ -140,19 +140,34 @@ class ShardedIr:
         c2d_mask = np.asarray(m.c2d_mask)
         slots4 = c2d_idx[d2c.reshape(-1)]
         Ff = np.asarray(model.F_mass).reshape(-1)
-        self.cells4 = jnp.asarray(
-            (slots4 // np2).astype(np.int32).reshape(ncell, np2, 4))
-        self.k4 = jnp.asarray(
-            (slots4 % np2).astype(np.int32).reshape(ncell, np2, 4))
-        self.mask4 = jnp.asarray(
-            c2d_mask[d2c.reshape(-1)].reshape(ncell, np2, 4))
-        self.F4 = jnp.asarray(Ff[slots4].reshape(ncell, np2, 4))
+
+        def padc(a, fill=0.0):
+            if self.pad == 0:
+                return a
+            tail = np.full((self.pad,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, tail], axis=0)
+
+        self.cells4 = jnp.asarray(padc(
+            (slots4 // np2).astype(np.int32).reshape(ncell, np2, 4)))
+        self.k4 = jnp.asarray(padc(
+            (slots4 % np2).astype(np.int32).reshape(ncell, np2, 4)))
+        self.mask4 = jnp.asarray(padc(
+            c2d_mask[d2c.reshape(-1)].reshape(ncell, np2, 4)))
+        self.F4 = jnp.asarray(padc(Ff[slots4].reshape(ncell, np2, 4)))
         _, remap = self.maps.jnp_tables()
         self.remap = remap
-        self.chol = (model.ird.chol if not model.facet
-                     else jnp.broadcast_to(
-                         model.ird.chol_ref,
-                         (ncell,) + model.ird.chol_ref.shape))
+        chol = np.asarray(model.ird.chol if not model.facet
+                          else jnp.broadcast_to(
+                              model.ird.chol_ref,
+                              (ncell,) + model.ird.chol_ref.shape))
+        if self.pad:
+            eye = np.broadcast_to(np.eye(np2), (self.pad, np2, np2))
+            chol = np.concatenate([chol, eye], axis=0)
+        self.chol = jnp.asarray(chol)
+        # Padded runtime divisor tables (F zero, Jt one on pads; divisors
+        # stay runtime operands for bitwise parity, see isl.step).
+        self.F_mass_pad = jnp.asarray(padc(np.asarray(model.F_mass)))
+        self.Jt_pad = jnp.asarray(padc(np.asarray(ird.Jt), fill=1.0))
         self._step_jit = None
         self._coverage_checked = set()
 
@@ -191,11 +206,12 @@ class ShardedIr:
                 self._body, mesh=self.mesh_dev,
                 in_specs=(P("cells", None), P(None, "cells", None),
                           P(), P(),
-                          P("cells", None, None),   # chol block
-                          P("cells", None),         # F_mass block
+                          P("cells", None, None),   # chol block (padded)
+                          P("cells", None),         # F_mass block (padded)
                           P(),                      # F_mass full (divisor
                           #   tables as runtime operands; see isl.step)
                           P(), P(),                 # F_sphere, Jt full
+                          P("cells", None),         # Jt padded block
                           P("cells", None, None),   # cells4
                           P("cells", None, None),   # k4
                           P("cells", None, None),   # mask4
@@ -204,12 +220,21 @@ class ShardedIr:
                 out_specs=(P("cells", None), P(None, "cells", None)),
                 check_vma=False)
             ird = self.model.ird
+            pad = self.pad
 
             def stepfn(rho, q, ts, tf):
-                return body(rho, q, ts, tf, self.chol, self.model.F_mass,
-                            self.model.F_mass, self.model.F_sphere,
-                            ird.Jt, self.cells4, self.k4, self.mask4,
-                            self.F4, self.remap)
+                if pad:
+                    rho = jnp.pad(rho, ((0, pad), (0, 0)))
+                    q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+                rho_o, q_o = body(rho, q, ts, tf, self.chol,
+                                  self.F_mass_pad, self.model.F_mass,
+                                  self.model.F_sphere, ird.Jt, self.Jt_pad,
+                                  self.cells4, self.k4, self.mask4,
+                                  self.F4, self.remap)
+                if pad:
+                    rho_o = rho_o[:-pad]
+                    q_o = q_o[:, :-pad]
+                return rho_o, q_o
 
             self._step_jit = jax.jit(stepfn)
         return self._step_jit(rho, q, ts, tf)
@@ -226,26 +251,33 @@ class ShardedIr:
             w = jnp.where(mask4, F4, 0.0)[..., None]
             num = jnp.sum(w * vals, axis=-2)
             den = jnp.sum(w, axis=-2)
-            cg = num / den
+            # den == 0 only on ragged pad rows; keep them finite-zero
+            # (bitwise neutral on real rows).
+            ok = den > 0
+            cg = num / jnp.where(ok, den, 1.0)
             big = jnp.where(mask4[..., None], vals, -jnp.inf)
             small = jnp.where(mask4[..., None], vals, jnp.inf)
             cg = jnp.clip(cg, jnp.min(small, axis=-2),
                           jnp.max(big, axis=-2))
+            cg = jnp.where(ok, cg, 0.0)
             return jnp.moveaxis(cg, -1, 0)            # (nt, B, np2)
         flat = ext[0].reshape(-1)
         vals = flat[eslots4]                          # (B, np2, 4)
         w = jnp.where(mask4, F4, 0.0)
-        cg = jnp.sum(w * vals, axis=-1) / jnp.sum(w, axis=-1)
+        den = jnp.sum(w, axis=-1)
+        ok = den > 0
+        cg = jnp.sum(w * vals, axis=-1) / jnp.where(ok, den, 1.0)
         big = jnp.where(mask4, vals, -jnp.inf)
         small = jnp.where(mask4, vals, jnp.inf)
-        return jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+        cg = jnp.clip(cg, jnp.min(small, axis=-1), jnp.max(big, axis=-1))
+        return jnp.where(ok, cg, 0.0)
 
     def _gsum_cells(self, x):
         return self.r_cells.allreduce(x, "cells")
 
     # ------------------------------------------------------------------
     def _body(self, rho, q, ts, tf, chol, F_mass_blk, F_mass, F_sphere,
-              Jt, cells4, k4, mask4, F4, remap):
+              Jt, Jt_padded, cells4, k4, mask4, F4, remap):
         model, cfg, m = self.model, self.cfg, self.m
         ird = model.ird
         s = jax.lax.axis_index("cells")
@@ -311,7 +343,7 @@ class ShardedIr:
         seg_tgt = jnp.where(is_local, tgt_local, B)   # slot B = dump
 
         Jt_src = Jt[my_gid]
-        Jt_blk = jax.lax.dynamic_slice_in_dim(Jt, s * B, B, 0)
+        Jt_blk = Jt_padded                      # this shard's (B, np2) block
 
         def apply_T(x):
             xs = x[..., pair_src, :]

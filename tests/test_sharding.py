@@ -283,6 +283,32 @@ def test_flagship_ne30_shards_over_16():
         assert r.block == B * 16
 
 
+def test_sharded_ir_ragged():
+    """Ragged decomposition on the IR/CDG path: ne=5 (150 cells) over 8
+    devices. The projection stays BITWISE (dedup-masked duplicate ext
+    slots, padded chol/divisor tables); the full step keeps its 2-ulp
+    pin. VERDICT r4 #2 extended to the second transport family."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.sharded_ir import ShardedIr
+    from compose_tpu.transport.ir import IrConfig, IrTransport
+
+    assert len(jax.devices()) >= 8
+    mesh = cubed_sphere.build(5, 4)
+    wind = gallery.create_wind("divergent")
+    rho = jnp.ones((mesh.ncell, mesh.np_ ** 2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "cosinebells"))
+    dt = 86400.0 / 10
+    cfg = IrConfig(ne=5, np_=4, method="ir", dmc="es", filter="none",
+                   limiter="none", nsub=2, d2c=False)
+    model = IrTransport(mesh, wind, cfg)
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    sh = ShardedIr(model, 8)
+    assert sh.pad == 2 and sh.B == 19, (sh.B, sh.pad)
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+
 def test_designed_sharded_step_comm_fraction():
     """The halo exchange is O(perimeter), not O(area): at fixed shard
     count the exchanged fraction shrinks ~1/ne as the mesh refines (the
