@@ -602,9 +602,18 @@ class ShardedIsl:
         if cfg.filter == "caas-node":
             # Node-granularity global CAAS (glbl_only_lcldyn,
             # slmmir_remapper_isl.cpp:389-445): identical arithmetic to
-            # the single chip's caas_gsum-with-bfb_sum form, with the
-            # distributed BFB reducer as the gsum.
+            # the single chip's caas_gsum-with-bfb_sum form (incl. the
+            # relaxed-bounds cell-local prefilter), with the distributed
+            # BFB reducer as the gsum.
             from ..ops import local_qp
+            if cfg.limiter != "none":
+                rel = 1e-2 * (q_max_node - q_min_node)
+                lim = jax.vmap(
+                    lambda Qi, qmin, qmax: limiter_mod.limit_tracer(
+                        F, rho_tgt, Qi, qmin, qmax,
+                        jnp.zeros(Qi.shape[0], Qi.dtype),
+                        limiter=cfg.limiter, expand_bounds_allowed=True))
+                Q_tgt = lim(Q_tgt, q_min_node - rel, q_max_node + rel)
             lo = (q_min_node * rho_tgt[None]).reshape(nt, -1)
             hi = (q_max_node * rho_tgt[None]).reshape(nt, -1)
             aF = jnp.broadcast_to(Ff[None], lo.shape)

@@ -616,10 +616,23 @@ class IslTransport:
 
         if cfg.filter == "caas-node":
             # Global-only node-granularity CAAS (glbl_only_lcldyn,
-            # slmmir_remapper_isl.cpp:389-445): clip every node's tracer
-            # mass to its source bounds, then distribute the global mass
-            # discrepancy proportionally to remaining nodal headroom.
+            # slmmir_remapper_isl.cpp:389-445): a RELAXED-bounds cell-local
+            # prefilter (limit_tracer with bounds widened by
+            # lcl_cdr_relax_fac=1e-2 of the range, expandable, zero mass
+            # delta - :1405-1412, :471), then clip every node's tracer
+            # mass to its strict source bounds and distribute the global
+            # mass discrepancy proportionally to remaining nodal headroom.
             nt_ = q.shape[0]
+            if cfg.limiter != "none":
+                rel = 1e-2 * (q_max_node - q_min_node)
+                lim = jax.vmap(
+                    lambda Qi, qmin, qmax: limiter_mod.limit_tracer(
+                        F, rho_tgt, Qi, qmin, qmax,
+                        jnp.zeros(Qi.shape[0], Qi.dtype),
+                        limiter=cfg.limiter, expand_bounds_allowed=True))
+                # Per-cell mass is conserved exactly (Qm_extra = 0), so the
+                # pre-prefilter Q_mass_tgt stays the right global target.
+                Q_tgt = lim(Q_tgt, q_min_node - rel, q_max_node + rel)
             lo = (q_min_node * rho_tgt[None]).reshape(nt_, -1)
             hi = (q_max_node * rho_tgt[None]).reshape(nt_, -1)
             aF = jnp.broadcast_to(Ff[None], lo.shape)

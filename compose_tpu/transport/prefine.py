@@ -273,10 +273,19 @@ class PRefineTransport:
         if self.mrd_f is None:
             # caas-node: node-granularity global-only CAAS on the fine
             # grid (glbl_only_lcldyn, slmmir_remapper_isl.cpp:389-445 via
-            # the prefine isl_cdr leg :1628-1632) - clip each node's
-            # tracer mass to its source bounds, distribute the global
+            # the prefine isl_cdr leg :1628-1632) - the relaxed-bounds
+            # cell-local prefilter, then clip each node's tracer mass to
+            # its strict source bounds and distribute the global
             # discrepancy proportionally to remaining nodal headroom.
             from ..ops import local_qp
+            if cfg.limiter != "none":
+                rel = 1e-2 * (q_max_node - q_min_node)
+                lim = jax.vmap(
+                    lambda Qi, qmin, qmax: limiter_mod.limit_tracer(
+                        F, rho_f_tgt, Qi, qmin, qmax,
+                        jnp.zeros(Qi.shape[0], Qi.dtype),
+                        limiter=cfg.limiter, expand_bounds_allowed=True))
+                Q_tgt = lim(Q_tgt, q_min_node - rel, q_max_node + rel)
             lo = (q_min_node * rho_f_tgt[None]).reshape(nt, -1)
             hi = (q_max_node * rho_f_tgt[None]).reshape(nt, -1)
             aF = jnp.broadcast_to(Ff[None], lo.shape)

@@ -138,6 +138,17 @@ def test_designed_sharded_step_bitwise_configs(kw):
         assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() \
             <= 5e-16
         assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() <= 5e-14
+    elif kw.get("filter") == "caas-node":
+        # The round-5 relaxed-bounds cell-local prefilter
+        # (slmmir_remapper_isl.cpp:1405-1412) runs limit_tracer with the
+        # expandable-bounds graph, whose extra per-cell min/max/QP
+        # expressions pick up ~1 ulp of fusion-context FMA difference
+        # between the two whole programs (the same class as filter='none'
+        # below; the global mass identity and the strict-bounds clip are
+        # enforced with identical arithmetic on both sides).
+        ulp = float(jnp.finfo(jnp.float64).eps)
+        assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+        assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() <= 2 * ulp
     elif kw.get("filter") == "none":
         # filter='none': no CDR between transport and DSS, and XLA fuses
         # the single-chip rho-DSS into its consumers with FMA contraction
@@ -185,7 +196,14 @@ def test_designed_sharded_step_bitwise_ragged(filt):
     assert sh.coverage_ok(0.0, dt)
     out_rho, out_q = sh.step(rho, q, 0.0, dt)
     assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
-    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+    if filt == "caas-node":
+        # caas-node's relaxed-bounds prefilter: ~1 ulp fusion-context
+        # residue (see test_designed_sharded_step_bitwise_configs).
+        ulp = float(jnp.finfo(jnp.float64).eps)
+        assert np.abs(np.asarray(out_q)
+                      - np.asarray(ref_q)).max() <= 2 * ulp
+    else:
+        assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
 
 
 @pytest.mark.parametrize("filt", ["caas", "qlt"])
