@@ -54,7 +54,8 @@ class ShardedIr:
     global n-dim QP and dmc=geh needs the global-equality solve; both
     stay single-chip for now, like ShardedIsl's exclusions.)"""
 
-    def __init__(self, model, n_shards: int, depth: int = 4, mesh_dev=None):
+    def __init__(self, model, n_shards: int, depth: int = 4, mesh_dev=None,
+                 owner=None):
         cfg = model.config
         m = model.mesh
         assert cfg.filter in ("none", "caas", "qlt"), cfg.filter
@@ -64,18 +65,33 @@ class ShardedIr:
         self.cfg = cfg
         self.m = m
         self.n_shards = n_shards
-        # Contiguous blocks, ragged when ncell % n_shards != 0 (the last
-        # shard carries inert pad cells, like ShardedIsl: zero weights,
-        # duplicate-id ext slots masked by src_real, outputs sliced).
-        self.maps = HaloMaps(m, n_shards, depth)
+        # Decomposition: contiguous blocks by default (ragged when ncell %
+        # n_shards != 0 - the last shard carries inert pad cells: zero
+        # weights, duplicate-id ext slots masked by src_real, outputs
+        # sliced), or an explicit owner map (halo.tile_owner 2-D tiles).
+        self.maps = HaloMaps(m, n_shards, depth, owner=owner)
         self.B = B = self.maps.block
         self.pad = self.maps.ncell_pad - m.ncell
         self.mesh_dev = mesh_dev if mesh_dev is not None \
             else cell_mesh(n_shards)
-        self.r_cells = get_reducer(m.ncell, n_shards, block=B)
+        mp = self.maps
+        self._perm_flat = mp.perm.reshape(-1)
+        self._padmask = (np.arange(B)[None]
+                         >= mp.leaf_count[:, None]).reshape(-1)
+        self._inv_idx = jnp.asarray(mp.owner * B + mp.leaf_slot)
+        self.owner_j = jnp.asarray(mp.owner.astype(np.int32))
+        self.leafslot_j = jnp.asarray(mp.leaf_slot.astype(np.int32))
+        if mp.contiguous:
+            self.r_cells = get_reducer(m.ncell, n_shards, block=B)
+        else:
+            from ..cdr.bfb import BfbTreeAllReducer
+            self.r_cells = BfbTreeAllReducer(m.ncell, n_shards, block=B,
+                                             leaf_lists=mp.leaf_lists)
         if cfg.filter == "qlt":
             self.sqlt = ShardedQLT(m.ncell, n_shards,
-                                   problem_type=qlt_mod.SHAPEPRESERVE)
+                                   problem_type=qlt_mod.SHAPEPRESERVE,
+                                   owner=None if mp.contiguous
+                                   else mp.owner)
         else:
             self.sqlt = None
         self.halo_tabs, self.halo_perms = self.maps.ppermute_tables()
@@ -142,10 +158,14 @@ class ShardedIr:
         Ff = np.asarray(model.F_mass).reshape(-1)
 
         def padc(a, fill=0.0):
-            if self.pad == 0:
+            # Block order (shard-major per-shard cell lists; identity for
+            # the contiguous divisible case), pad rows filled inertly.
+            if self.pad == 0 and self.maps.contiguous:
                 return a
-            tail = np.full((self.pad,) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, tail], axis=0)
+            out = np.array(a[self._perm_flat])
+            if self._padmask.any():
+                out[self._padmask] = fill
+            return out
 
         self.cells4 = jnp.asarray(padc(
             (slots4 // np2).astype(np.int32).reshape(ncell, np2, 4)))
@@ -160,9 +180,11 @@ class ShardedIr:
                           else jnp.broadcast_to(
                               model.ird.chol_ref,
                               (ncell,) + model.ird.chol_ref.shape))
-        if self.pad:
-            eye = np.broadcast_to(np.eye(np2), (self.pad, np2, np2))
-            chol = np.concatenate([chol, eye], axis=0)
+        # Block order; pad rows get an identity factor (finite solves).
+        if self.pad or not self.maps.contiguous:
+            chol = np.array(chol[self._perm_flat])
+            if self._padmask.any():
+                chol[self._padmask] = np.eye(np2)
         self.chol = jnp.asarray(chol)
         # Padded runtime divisor tables (F zero, Jt one on pads; divisors
         # stay runtime operands for bitwise parity, see isl.step).
@@ -184,10 +206,10 @@ class ShardedIr:
         pm = np.asarray(pm)
         ps = np.asarray(ps)[pm]
         pt = np.asarray(pt)[pm]
-        B = self.B
         gid = np.asarray(self.src_gid)
+        ow = self.maps.owner
         for s in range(self.n_shards):
-            sel = (pt >= s * B) & (pt < (s + 1) * B)
+            sel = ow[pt] == s
             if not set(ps[sel].tolist()) <= set(gid[s].tolist()):
                 return False
         return True
@@ -222,18 +244,31 @@ class ShardedIr:
             ird = self.model.ird
             pad = self.pad
 
+            contig = self.maps.contiguous
+            perm_j = jnp.asarray(self._perm_flat)
+            padm = jnp.asarray(self._padmask)
+            inv = self._inv_idx
+
             def stepfn(rho, q, ts, tf):
-                if pad:
-                    rho = jnp.pad(rho, ((0, pad), (0, 0)))
-                    q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+                if contig:
+                    if pad:
+                        rho = jnp.pad(rho, ((0, pad), (0, 0)))
+                        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+                else:
+                    rho = jnp.where(padm[:, None], 0.0, rho[perm_j])
+                    q = jnp.where(padm[None, :, None], 0.0, q[:, perm_j])
                 rho_o, q_o = body(rho, q, ts, tf, self.chol,
                                   self.F_mass_pad, self.model.F_mass,
                                   self.model.F_sphere, ird.Jt, self.Jt_pad,
                                   self.cells4, self.k4, self.mask4,
                                   self.F4, self.remap)
-                if pad:
-                    rho_o = rho_o[:-pad]
-                    q_o = q_o[:, :-pad]
+                if contig:
+                    if pad:
+                        rho_o = rho_o[:-pad]
+                        q_o = q_o[:, :-pad]
+                else:
+                    rho_o = rho_o[inv]
+                    q_o = q_o[:, inv]
                 return rho_o, q_o
 
             self._step_jit = jax.jit(stepfn)
@@ -338,8 +373,10 @@ class ShardedIr:
 
         # --- Local-target masking; contributions accumulate per local
         # cell in single-chip pair order (sorted global (src, cand)).
-        tgt_local = pair_tgt - s * B
-        is_local = pair_mask & (tgt_local >= 0) & (tgt_local < B)
+        # Layout-general: ownership/slot via the owner/leaf_slot tables
+        # (for contiguous blocks these are c // B and c - s*B).
+        tgt_local = self.leafslot_j[pair_tgt]
+        is_local = pair_mask & (self.owner_j[pair_tgt] == s)
         seg_tgt = jnp.where(is_local, tgt_local, B)   # slot B = dump
 
         Jt_src = Jt[my_gid]

@@ -327,6 +327,46 @@ def test_sharded_ir_ragged():
     assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
 
 
+def test_sharded_ir_tiles():
+    """2-D tile layout on the IR/CDG path: the projection stays BITWISE
+    (block-ordered chol/divisor tables, owner/leaf-slot target maps); the
+    full filtered step sits within 3 ulp (the contiguous layout's
+    documented 2-ulp fusion-context class, shifted slightly by the tiled
+    program)."""
+    from compose_tpu.mesh import cubed_sphere
+    from compose_tpu.parallel.halo import tile_owner
+    from compose_tpu.parallel.sharded_ir import ShardedIr
+    from compose_tpu.transport.ir import IrConfig, IrTransport
+
+    assert len(jax.devices()) >= 8
+    mesh = cubed_sphere.build(4, 4)
+    wind = gallery.create_wind("divergent")
+    rho = jnp.ones((mesh.ncell, mesh.np_ ** 2))
+    q = driver.init_tracers(mesh, ("gaussianhills", "cosinebells"))
+    dt = 86400.0 / 10
+    ow = tile_owner(mesh, 8)
+    cfg = IrConfig(ne=4, np_=4, method="ir", dmc="es", filter="none",
+                   limiter="none", nsub=2, d2c=False)
+    model = IrTransport(mesh, wind, cfg)
+    ref_rho, ref_q = model.step(rho, q, 0.0, dt)
+    sh = ShardedIr(model, 8, owner=ow)
+    assert not sh.maps.contiguous
+    out_rho, out_q = sh.step(rho, q, 0.0, dt)
+    assert np.abs(np.asarray(out_rho) - np.asarray(ref_rho)).max() == 0.0
+    assert np.abs(np.asarray(out_q) - np.asarray(ref_q)).max() == 0.0
+
+    cfg2 = IrConfig(ne=4, np_=4, method="ir", dmc="es", filter="qlt",
+                    limiter="caas", nsub=2, d2c=True)
+    model2 = IrTransport(mesh, wind, cfg2)
+    ref_rho2, ref_q2 = model2.step(rho, q, 0.0, dt)
+    sh2 = ShardedIr(model2, 8, owner=ow)
+    o_rho2, o_q2 = sh2.step(rho, q, 0.0, dt)
+    ulp = float(jnp.finfo(jnp.float64).eps)
+    assert np.abs(np.asarray(o_rho2) - np.asarray(ref_rho2)).max() \
+        <= 3 * ulp
+    assert np.abs(np.asarray(o_q2) - np.asarray(ref_q2)).max() <= 3 * ulp
+
+
 def test_designed_sharded_step_comm_fraction():
     """The halo exchange is O(perimeter), not O(area): at fixed shard
     count the exchanged fraction shrinks ~1/ne as the mesh refines (the
